@@ -1,0 +1,986 @@
+"""YOLOv5-family detector, TPU-native.
+
+A declarative spec -> functional graph builder with the same architecture
+grammar as the reference's yaml-driven ``parse_model``
+(``yolov5/models/yolo.py:243-294``): rows of ``[from, number, module, args]``
+with depth/width multiples and ``from``-index wiring.  Unlike the reference
+(which builds an ``nn.Sequential`` of stateful modules), the builder here
+produces a static layer plan executed as a pure function over a params
+pytree — fully jittable, NHWC, bf16-ready.
+
+Covered module zoo (reference ``yolov5/models/common.py:37-275``): Conv,
+DWConv, Focus, Bottleneck, BottleneckCSP, C3, C3TR (transformer), C3SPP,
+C3Ghost, GhostConv, GhostBottleneck, SPP, SPPF, Concat, Contract, Expand,
+nn.Upsample — plus the Detect head with fused decode
+(``yolov5/models/yolo.py:33-81``).
+
+Two concrete production architectures (SURVEY.md §2.3):
+- plate detector: 3-scale yolov5s-v6.0, nc=11, 1280x1280 -> (100800, 16)
+- char OCR:      single-scale stride-8 Focus/SPP/C3TR variant, nc=36,
+                 2 evolved anchors, 128x128 -> (512, 41)
+
+Weight import maps pickled-Model state dicts (via
+``lpr_tpu.weights.torch_ckpt``) with optional conv+BN fusing (the reference
+fuses at load: ``yolov5/models/experimental.py:90-99``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lpr_tpu.ops import nn as tnn
+from lpr_tpu.weights import convert as cvt
+
+Params = Any
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+# ---------------------------------------------------------------------------
+# shared conv(+BN)+act building block
+
+
+def _init_conv(key, k, c1, c2, groups=1, bias=False, bn=True):
+    fan_in = max(c1 // groups * k * k, 1)
+    bound = float(np.sqrt(1.0 / fan_in))
+    k1, k2 = jax.random.split(key)
+    p = {"w": jax.random.uniform(k1, (k, k, c1 // groups, c2), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (c2,), jnp.float32, -bound, bound)
+    if bn:
+        p["bn"] = {
+            "gamma": jnp.ones((c2,), jnp.float32),
+            "beta": jnp.zeros((c2,), jnp.float32),
+            "mean": jnp.zeros((c2,), jnp.float32),
+            "var": jnp.ones((c2,), jnp.float32),
+        }
+    return p
+
+
+def _conv(p, x, *, k, stride=1, pad=None, groups=1, act="silu"):
+    """Conv(+BN)+act — reference Conv (common.py:37-49)."""
+    padding = k // 2 if pad is None else pad
+    y = tnn.conv2d(x, p["w"], p.get("b"), stride=stride, padding=padding, groups=groups)
+    if "bn" in p:
+        bn = p["bn"]
+        y = tnn.batch_norm(y, bn["gamma"], bn["beta"], bn["mean"], bn["var"])
+    if act == "silu":
+        y = tnn.silu(y)
+    elif act == "leaky":
+        y = tnn.leaky_relu(y, 0.1)
+    return y
+
+
+def _import_conv(sd, prefix, fuse=True, dw=False):
+    w = cvt.conv_w(sd[f"{prefix}.conv.weight"])
+    if f"{prefix}.bn.weight" in sd:
+        if fuse:
+            w, b = tnn.fuse_conv_bn(
+                w, None,
+                sd[f"{prefix}.bn.weight"], sd[f"{prefix}.bn.bias"],
+                sd[f"{prefix}.bn.running_mean"], sd[f"{prefix}.bn.running_var"],
+            )
+            return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+        return {
+            "w": jnp.asarray(w),
+            "bn": {
+                "gamma": jnp.asarray(cvt.vec(sd[f"{prefix}.bn.weight"])),
+                "beta": jnp.asarray(cvt.vec(sd[f"{prefix}.bn.bias"])),
+                "mean": jnp.asarray(cvt.vec(sd[f"{prefix}.bn.running_mean"])),
+                "var": jnp.asarray(cvt.vec(sd[f"{prefix}.bn.running_var"])),
+            },
+        }
+    p = {"w": jnp.asarray(w)}
+    if f"{prefix}.conv.bias" in sd:
+        p["b"] = jnp.asarray(cvt.vec(sd[f"{prefix}.conv.bias"]))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# layers
+
+
+@dataclasses.dataclass
+class Layer:
+    """One node in the layer plan (set by the builder: i, f, c2)."""
+
+    def __post_init__(self):
+        self.i = 0
+        self.f: Union[int, List[int]] = -1
+
+    def init(self, key) -> Params:
+        return {}
+
+    def import_torch(self, sd, prefix, fuse=True) -> Params:
+        return {}
+
+    def __call__(self, p: Params, x):
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class Conv(Layer):
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    pad: Optional[int] = None
+    g: int = 1
+    act: str = "silu"
+
+    def init(self, key):
+        return _init_conv(key, self.k, self.c1, self.c2, self.g)
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return _import_conv(sd, prefix, fuse)
+
+    def __call__(self, p, x):
+        return _conv(p, x, k=self.k, stride=self.s, pad=self.pad,
+                     groups=self.g, act=self.act)
+
+
+@dataclasses.dataclass
+class DWConv(Conv):
+    """Depthwise conv (common.py:52-55): groups = gcd(c1, c2)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.g = math.gcd(self.c1, self.c2)
+
+
+@dataclasses.dataclass
+class Focus(Layer):
+    """Space-to-depth 2x2 + Conv (common.py:199-207)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+
+    def init(self, key):
+        return _init_conv(key, self.k, self.c1 * 4, self.c2)
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return _import_conv(sd, f"{prefix}.conv", fuse)
+
+    def __call__(self, p, x):
+        return _conv(p, tnn.space_to_depth_focus(x), k=self.k, stride=self.s)
+
+
+def _bottleneck_init(key, c1, c2, g=1, e=0.5):
+    c_ = int(c2 * e)
+    k1, k2 = jax.random.split(key)
+    return {"cv1": _init_conv(k1, 1, c1, c_), "cv2": _init_conv(k2, 3, c_, c2, g)}
+
+
+def _bottleneck_import(sd, prefix, fuse):
+    return {"cv1": _import_conv(sd, f"{prefix}.cv1", fuse),
+            "cv2": _import_conv(sd, f"{prefix}.cv2", fuse)}
+
+
+def _bottleneck(p, x, *, shortcut, g=1):
+    """Standard bottleneck (common.py:94-104)."""
+    y = _conv(p["cv2"], _conv(p["cv1"], x, k=1), k=3, groups=g)
+    return x + y if shortcut else y
+
+
+@dataclasses.dataclass
+class Bottleneck(Layer):
+    c1: int
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    def init(self, key):
+        return _bottleneck_init(key, self.c1, self.c2, self.g, self.e)
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return _bottleneck_import(sd, prefix, fuse)
+
+    def __call__(self, p, x):
+        return _bottleneck(p, x, shortcut=self.shortcut and self.c1 == self.c2, g=self.g)
+
+
+@dataclasses.dataclass
+class C3(Layer):
+    """CSP bottleneck with 3 convs (common.py:126-138)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    def init(self, key):
+        c_ = int(self.c2 * self.e)
+        ks = jax.random.split(key, self.n + 3)
+        return {
+            "cv1": _init_conv(ks[0], 1, self.c1, c_),
+            "cv2": _init_conv(ks[1], 1, self.c1, c_),
+            "cv3": _init_conv(ks[2], 1, 2 * c_, self.c2),
+            "m": [_bottleneck_init(ks[3 + j], c_, c_, self.g, 1.0) for j in range(self.n)],
+        }
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return {
+            "cv1": _import_conv(sd, f"{prefix}.cv1", fuse),
+            "cv2": _import_conv(sd, f"{prefix}.cv2", fuse),
+            "cv3": _import_conv(sd, f"{prefix}.cv3", fuse),
+            "m": [_bottleneck_import(sd, f"{prefix}.m.{j}", fuse) for j in range(self.n)],
+        }
+
+    def _inner(self, p, y):
+        for bp in p["m"]:
+            y = _bottleneck(bp, y, shortcut=self.shortcut, g=self.g)
+        return y
+
+    def __call__(self, p, x):
+        y1 = self._inner(p, _conv(p["cv1"], x, k=1))
+        y2 = _conv(p["cv2"], x, k=1)
+        return _conv(p["cv3"], jnp.concatenate([y1, y2], -1), k=1)
+
+
+@dataclasses.dataclass
+class BottleneckCSP(Layer):
+    """CSP bottleneck, v4-style with standalone BN+SiLU on the concat
+    (common.py:107-123)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    def init(self, key):
+        c_ = int(self.c2 * self.e)
+        ks = jax.random.split(key, self.n + 5)
+        return {
+            "cv1": _init_conv(ks[0], 1, self.c1, c_),
+            "cv2": _init_conv(ks[1], 1, self.c1, c_, bias=False, bn=False),
+            "cv3": _init_conv(ks[2], 1, c_, c_, bias=False, bn=False),
+            "cv4": _init_conv(ks[3], 1, 2 * c_, self.c2),
+            "bn": {
+                "gamma": jnp.ones((2 * c_,)), "beta": jnp.zeros((2 * c_,)),
+                "mean": jnp.zeros((2 * c_,)), "var": jnp.ones((2 * c_,)),
+            },
+            "m": [_bottleneck_init(ks[5 + j], c_, c_, self.g, 1.0) for j in range(self.n)],
+        }
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return {
+            "cv1": _import_conv(sd, f"{prefix}.cv1", fuse),
+            "cv2": {"w": jnp.asarray(cvt.conv_w(sd[f"{prefix}.cv2.weight"]))},
+            "cv3": {"w": jnp.asarray(cvt.conv_w(sd[f"{prefix}.cv3.weight"]))},
+            "cv4": _import_conv(sd, f"{prefix}.cv4", fuse),
+            "bn": {
+                "gamma": jnp.asarray(cvt.vec(sd[f"{prefix}.bn.weight"])),
+                "beta": jnp.asarray(cvt.vec(sd[f"{prefix}.bn.bias"])),
+                "mean": jnp.asarray(cvt.vec(sd[f"{prefix}.bn.running_mean"])),
+                "var": jnp.asarray(cvt.vec(sd[f"{prefix}.bn.running_var"])),
+            },
+            "m": [_bottleneck_import(sd, f"{prefix}.m.{j}", fuse) for j in range(self.n)],
+        }
+
+    def __call__(self, p, x):
+        y = _conv(p["cv1"], x, k=1)
+        for bp in p["m"]:
+            y = _bottleneck(bp, y, shortcut=self.shortcut, g=self.g)
+        y1 = tnn.conv2d(y, p["cv3"]["w"], padding=0)
+        y2 = tnn.conv2d(x, p["cv2"]["w"], padding=0)
+        cat = jnp.concatenate([y1, y2], -1)
+        bn = p["bn"]
+        cat = tnn.batch_norm(cat, bn["gamma"], bn["beta"], bn["mean"], bn["var"],
+                             eps=1e-5)
+        return _conv(p["cv4"], tnn.silu(cat), k=1)
+
+
+@dataclasses.dataclass
+class SPP(Layer):
+    """Spatial pyramid pooling (common.py:165-178)."""
+
+    c1: int
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+
+    def init(self, key):
+        c_ = self.c1 // 2
+        k1, k2 = jax.random.split(key)
+        return {"cv1": _init_conv(k1, 1, self.c1, c_),
+                "cv2": _init_conv(k2, 1, c_ * (len(self.k) + 1), self.c2)}
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return {"cv1": _import_conv(sd, f"{prefix}.cv1", fuse),
+                "cv2": _import_conv(sd, f"{prefix}.cv2", fuse)}
+
+    def __call__(self, p, x):
+        y = _conv(p["cv1"], x, k=1)
+        pools = [tnn.max_pool2d(y, kk, 1, kk // 2) for kk in self.k]
+        return _conv(p["cv2"], jnp.concatenate([y] + pools, -1), k=1)
+
+
+@dataclasses.dataclass
+class SPPF(Layer):
+    """Fast SPP: 3 chained k-pools == SPP(k, 2k-1, 3k-2) (common.py:181-196)."""
+
+    c1: int
+    c2: int
+    k: int = 5
+
+    def init(self, key):
+        c_ = self.c1 // 2
+        k1, k2 = jax.random.split(key)
+        return {"cv1": _init_conv(k1, 1, self.c1, c_),
+                "cv2": _init_conv(k2, 1, c_ * 4, self.c2)}
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return {"cv1": _import_conv(sd, f"{prefix}.cv1", fuse),
+                "cv2": _import_conv(sd, f"{prefix}.cv2", fuse)}
+
+    def __call__(self, p, x):
+        y = _conv(p["cv1"], x, k=1)
+        y1 = tnn.max_pool2d(y, self.k, 1, self.k // 2)
+        y2 = tnn.max_pool2d(y1, self.k, 1, self.k // 2)
+        y3 = tnn.max_pool2d(y2, self.k, 1, self.k // 2)
+        return _conv(p["cv2"], jnp.concatenate([y, y1, y2, y3], -1), k=1)
+
+
+@dataclasses.dataclass
+class GhostConv(Layer):
+    """Ghost conv (common.py:211-221)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+
+    def init(self, key):
+        c_ = self.c2 // 2
+        k1, k2 = jax.random.split(key)
+        return {"cv1": _init_conv(k1, self.k, self.c1, c_),
+                "cv2": _init_conv(k2, 5, c_, c_, groups=c_)}
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return {"cv1": _import_conv(sd, f"{prefix}.cv1", fuse),
+                "cv2": _import_conv(sd, f"{prefix}.cv2", fuse)}
+
+    def __call__(self, p, x):
+        c_ = self.c2 // 2
+        y = _conv(p["cv1"], x, k=self.k, stride=self.s)
+        return jnp.concatenate([y, _conv(p["cv2"], y, k=5, groups=c_)], -1)
+
+
+@dataclasses.dataclass
+class GhostBottleneck(Layer):
+    """Ghost bottleneck (common.py:224-236)."""
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+
+    def init(self, key):
+        c_ = self.c2 // 2
+        ks = jax.random.split(key, 5)
+        gc1 = GhostConv(self.c1, c_, 1, 1)
+        gc2 = GhostConv(c_, self.c2, 1, 1)
+        p = {"g1": gc1.init(ks[0]), "g2": gc2.init(ks[1])}
+        if self.s == 2:
+            p["dw"] = _init_conv(ks[2], self.k, c_, c_, groups=math.gcd(c_, c_))
+            p["sc_dw"] = _init_conv(ks[3], self.k, self.c1, self.c1, groups=self.c1)
+            p["sc_pw"] = _init_conv(ks[4], 1, self.c1, self.c2)
+        return p
+
+    def import_torch(self, sd, prefix, fuse=True):
+        p = {"g1": {"cv1": _import_conv(sd, f"{prefix}.conv.0.cv1", fuse),
+                    "cv2": _import_conv(sd, f"{prefix}.conv.0.cv2", fuse)},
+             "g2": {"cv1": _import_conv(sd, f"{prefix}.conv.2.cv1", fuse),
+                    "cv2": _import_conv(sd, f"{prefix}.conv.2.cv2", fuse)}}
+        if self.s == 2:
+            p["dw"] = _import_conv(sd, f"{prefix}.conv.1", fuse)
+            p["sc_dw"] = _import_conv(sd, f"{prefix}.shortcut.0", fuse)
+            p["sc_pw"] = _import_conv(sd, f"{prefix}.shortcut.1", fuse)
+        return p
+
+    def __call__(self, p, x):
+        c_ = self.c2 // 2
+        g1 = GhostConv(self.c1, c_, 1, 1)
+        g2 = GhostConv(c_, self.c2, 1, 1)
+        y = g1(p["g1"], x)
+        if self.s == 2:
+            y = _conv(p["dw"], y, k=self.k, stride=2, groups=c_, act="none")
+        y = g2(p["g2"], y)  # act on cv1 only in torch GhostConv(act=False)?
+        if self.s == 2:
+            sc = _conv(p["sc_dw"], x, k=self.k, stride=2, groups=self.c1, act="none")
+            sc = _conv(p["sc_pw"], sc, k=1, act="none")
+        else:
+            sc = x
+        return y + sc
+
+
+@dataclasses.dataclass
+class TransformerBlockL(Layer):
+    """ViT block on a conv feature map, LayerNorm-free (common.py:58-91).
+
+    Tokens = flattened H*W positions; learnable positional Linear; per-layer
+    q/k/v Linears (no bias) feeding torch-style MultiheadAttention
+    (in_proj + out_proj, bias=True) + two bias-free FC residuals.
+    """
+
+    c1: int
+    c2: int
+    num_heads: int = 4
+    num_layers: int = 1
+
+    def init(self, key):
+        c = self.c2
+        ks = jax.random.split(key, 2 + self.num_layers)
+        p: Dict[str, Any] = {}
+        if self.c1 != self.c2:
+            p["conv"] = _init_conv(ks[0], 1, self.c1, c)
+        bound = float(np.sqrt(1.0 / c))
+        p["linear"] = {
+            "w": jax.random.uniform(ks[1], (c, c), jnp.float32, -bound, bound),
+            "b": jax.random.uniform(ks[1], (c,), jnp.float32, -bound, bound),
+        }
+        p["tr"] = []
+        for j in range(self.num_layers):
+            kk = jax.random.split(ks[2 + j], 8)
+            lay = {
+                "q": jax.random.uniform(kk[0], (c, c), jnp.float32, -bound, bound),
+                "k": jax.random.uniform(kk[1], (c, c), jnp.float32, -bound, bound),
+                "v": jax.random.uniform(kk[2], (c, c), jnp.float32, -bound, bound),
+                "in_proj_w": jax.random.uniform(kk[3], (c, 3 * c), jnp.float32, -bound, bound),
+                "in_proj_b": jnp.zeros((3 * c,), jnp.float32),
+                "out_proj_w": jax.random.uniform(kk[4], (c, c), jnp.float32, -bound, bound),
+                "out_proj_b": jnp.zeros((c,), jnp.float32),
+                "fc1": jax.random.uniform(kk[5], (c, c), jnp.float32, -bound, bound),
+                "fc2": jax.random.uniform(kk[6], (c, c), jnp.float32, -bound, bound),
+            }
+            p["tr"].append(lay)
+        return p
+
+    def import_torch(self, sd, prefix, fuse=True):
+        p: Dict[str, Any] = {}
+        if f"{prefix}.conv.conv.weight" in sd:
+            p["conv"] = _import_conv(sd, f"{prefix}.conv", fuse)
+        p["linear"] = {"w": jnp.asarray(cvt.linear_w(sd[f"{prefix}.linear.weight"])),
+                       "b": jnp.asarray(cvt.vec(sd[f"{prefix}.linear.bias"]))}
+        p["tr"] = []
+        for j in range(self.num_layers):
+            q = f"{prefix}.tr.{j}"
+            p["tr"].append({
+                "q": jnp.asarray(cvt.linear_w(sd[f"{q}.q.weight"])),
+                "k": jnp.asarray(cvt.linear_w(sd[f"{q}.k.weight"])),
+                "v": jnp.asarray(cvt.linear_w(sd[f"{q}.v.weight"])),
+                "in_proj_w": jnp.asarray(cvt.linear_w(sd[f"{q}.ma.in_proj_weight"])),
+                "in_proj_b": jnp.asarray(cvt.vec(sd[f"{q}.ma.in_proj_bias"])),
+                "out_proj_w": jnp.asarray(cvt.linear_w(sd[f"{q}.ma.out_proj.weight"])),
+                "out_proj_b": jnp.asarray(cvt.vec(sd[f"{q}.ma.out_proj.bias"])),
+                "fc1": jnp.asarray(cvt.linear_w(sd[f"{q}.fc1.weight"])),
+                "fc2": jnp.asarray(cvt.linear_w(sd[f"{q}.fc2.weight"])),
+            })
+        return p
+
+    def _mha(self, lp, q, k, v):
+        """torch F.multi_head_attention_forward semantics, batched NHWC-style:
+        inputs (B, L, C)."""
+        c = self.c2
+        h = self.num_heads
+        dk = c // h
+        wq, wk, wv = (lp["in_proj_w"][:, :c], lp["in_proj_w"][:, c : 2 * c],
+                      lp["in_proj_w"][:, 2 * c :])
+        bq, bk, bv = (lp["in_proj_b"][:c], lp["in_proj_b"][c : 2 * c],
+                      lp["in_proj_b"][2 * c :])
+        q2 = tnn.linear(q, wq, bq)
+        k2 = tnn.linear(k, wk, bk)
+        v2 = tnn.linear(v, wv, bv)
+        B, L, _ = q2.shape
+        q2 = q2.reshape(B, L, h, dk).transpose(0, 2, 1, 3) / np.sqrt(dk)
+        k2 = k2.reshape(B, L, h, dk).transpose(0, 2, 1, 3)
+        v2 = v2.reshape(B, L, h, dk).transpose(0, 2, 1, 3)
+        att = jnp.einsum("bhld,bhmd->bhlm", q2, k2,
+                         precision=tnn.default_precision())
+        att = jax.nn.softmax(att, axis=-1)
+        out = jnp.einsum("bhlm,bhmd->bhld", att, v2,
+                         precision=tnn.default_precision())
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, c)
+        return tnn.linear(out, lp["out_proj_w"], lp["out_proj_b"])
+
+    def __call__(self, p, x):
+        if "conv" in p:
+            x = _conv(p["conv"], x, k=1)
+        B, H, W, C = x.shape
+        t = x.reshape(B, H * W, C)  # same token order as torch flatten(2)
+        t = t + tnn.linear(t, p["linear"]["w"], p["linear"]["b"])
+        for lp in p["tr"]:
+            q = tnn.linear(t, lp["q"])
+            k = tnn.linear(t, lp["k"])
+            v = tnn.linear(t, lp["v"])
+            t = self._mha(lp, q, k, v) + t
+            t = tnn.linear(tnn.linear(t, lp["fc1"]), lp["fc2"]) + t
+        return t.reshape(B, H, W, C)
+
+
+@dataclasses.dataclass
+class C3TR(C3):
+    """C3 with a TransformerBlock inner (common.py:141-146)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        c_ = int(self.c2 * self.e)
+        self.tb = TransformerBlockL(c_, c_, 4, self.n)
+
+    def init(self, key):
+        ks = jax.random.split(key, 4)
+        return {
+            "cv1": _init_conv(ks[0], 1, self.c1, int(self.c2 * self.e)),
+            "cv2": _init_conv(ks[1], 1, self.c1, int(self.c2 * self.e)),
+            "cv3": _init_conv(ks[2], 1, 2 * int(self.c2 * self.e), self.c2),
+            "m": self.tb.init(ks[3]),
+        }
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return {
+            "cv1": _import_conv(sd, f"{prefix}.cv1", fuse),
+            "cv2": _import_conv(sd, f"{prefix}.cv2", fuse),
+            "cv3": _import_conv(sd, f"{prefix}.cv3", fuse),
+            "m": self.tb.import_torch(sd, f"{prefix}.m", fuse),
+        }
+
+    def __call__(self, p, x):
+        y1 = self.tb(p["m"], _conv(p["cv1"], x, k=1))
+        y2 = _conv(p["cv2"], x, k=1)
+        return _conv(p["cv3"], jnp.concatenate([y1, y2], -1), k=1)
+
+
+@dataclasses.dataclass
+class C3SPP(C3):
+    """C3 with an SPP inner (common.py:149-154)."""
+
+    k: Tuple[int, ...] = (5, 9, 13)
+
+    def __post_init__(self):
+        super().__post_init__()
+        c_ = int(self.c2 * self.e)
+        self.spp = SPP(c_, c_, self.k)
+
+    def init(self, key):
+        ks = jax.random.split(key, 4)
+        c_ = int(self.c2 * self.e)
+        return {"cv1": _init_conv(ks[0], 1, self.c1, c_),
+                "cv2": _init_conv(ks[1], 1, self.c1, c_),
+                "cv3": _init_conv(ks[2], 1, 2 * c_, self.c2),
+                "m": self.spp.init(ks[3])}
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return {"cv1": _import_conv(sd, f"{prefix}.cv1", fuse),
+                "cv2": _import_conv(sd, f"{prefix}.cv2", fuse),
+                "cv3": _import_conv(sd, f"{prefix}.cv3", fuse),
+                "m": self.spp.import_torch(sd, f"{prefix}.m", fuse)}
+
+    def __call__(self, p, x):
+        y1 = self.spp(p["m"], _conv(p["cv1"], x, k=1))
+        y2 = _conv(p["cv2"], x, k=1)
+        return _conv(p["cv3"], jnp.concatenate([y1, y2], -1), k=1)
+
+
+@dataclasses.dataclass
+class C3Ghost(C3):
+    """C3 with GhostBottleneck inners (common.py:157-162)."""
+
+    def init(self, key):
+        c_ = int(self.c2 * self.e)
+        ks = jax.random.split(key, self.n + 3)
+        return {
+            "cv1": _init_conv(ks[0], 1, self.c1, c_),
+            "cv2": _init_conv(ks[1], 1, self.c1, c_),
+            "cv3": _init_conv(ks[2], 1, 2 * c_, self.c2),
+            "m": [GhostBottleneck(c_, c_).init(ks[3 + j]) for j in range(self.n)],
+        }
+
+    def import_torch(self, sd, prefix, fuse=True):
+        c_ = int(self.c2 * self.e)
+        gb = GhostBottleneck(c_, c_)
+        return {
+            "cv1": _import_conv(sd, f"{prefix}.cv1", fuse),
+            "cv2": _import_conv(sd, f"{prefix}.cv2", fuse),
+            "cv3": _import_conv(sd, f"{prefix}.cv3", fuse),
+            "m": [gb.import_torch(sd, f"{prefix}.m.{j}", fuse) for j in range(self.n)],
+        }
+
+    def __call__(self, p, x):
+        c_ = int(self.c2 * self.e)
+        gb = GhostBottleneck(c_, c_)
+        y = _conv(p["cv1"], x, k=1)
+        for gp in p["m"]:
+            y = gb(gp, y)
+        y2 = _conv(p["cv2"], x, k=1)
+        return _conv(p["cv3"], jnp.concatenate([y, y2], -1), k=1)
+
+
+@dataclasses.dataclass
+class Upsample(Layer):
+    scale: int = 2
+    mode: str = "nearest"
+
+    def __call__(self, p, x):
+        assert self.mode == "nearest"
+        return tnn.upsample_nearest(x, self.scale)
+
+
+@dataclasses.dataclass
+class Concat(Layer):
+    axis: int = -1
+
+    def __call__(self, p, xs):
+        return jnp.concatenate(xs, -1)
+
+
+@dataclasses.dataclass
+class Contract(Layer):
+    """WxH -> channels (common.py:239-250)."""
+
+    gain: int = 2
+
+    def __call__(self, p, x):
+        return tnn.pixel_unshuffle(x, self.gain)
+
+
+@dataclasses.dataclass
+class Expand(Layer):
+    """channels -> WxH (common.py:253-264)."""
+
+    gain: int = 2
+
+    def __call__(self, p, x):
+        return tnn.pixel_shuffle(x, self.gain)
+
+
+@dataclasses.dataclass
+class Detect(Layer):
+    """Detection head with fused decode (yolo.py:33-81).
+
+    Per level: 1x1 conv -> (B, ny, nx, na, 5+nc) -> sigmoid ->
+    xy = (2s-0.5+grid)*stride, wh = (2s)^2 * anchor_px.
+    Output (train=False): (B, sum na*ny*nx, 5+nc) in torch's
+    (anchor-major, row-major) flatten order for bit parity.
+    """
+
+    nc: int
+    anchors: Any  # (nl, na, 2) in *grid units* (already / stride)
+    ch: Tuple[int, ...] = ()
+    strides: Tuple[int, ...] = ()
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.anchors = np.asarray(self.anchors, np.float32)
+        self.nl = self.anchors.shape[0]
+        self.na = self.anchors.shape[1]
+        self.no = self.nc + 5
+
+    def init(self, key):
+        ks = jax.random.split(key, self.nl)
+        return {"m": [
+            _init_conv(ks[l], 1, self.ch[l], self.na * self.no, bias=True, bn=False)
+            for l in range(self.nl)
+        ]}
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return {"m": [
+            {"w": jnp.asarray(cvt.conv_w(sd[f"{prefix}.m.{l}.weight"])),
+             "b": jnp.asarray(cvt.vec(sd[f"{prefix}.m.{l}.bias"]))}
+            for l in range(self.nl)
+        ]}
+
+    def __call__(self, p, xs, decode=True):
+        if not isinstance(xs, (list, tuple)):
+            xs = [xs]
+        raws, outs = [], []
+        for l, x in enumerate(xs):
+            y = tnn.conv2d(x, p["m"][l]["w"], p["m"][l]["b"], padding=0)
+            B, ny, nx, _ = y.shape
+            y = y.reshape(B, ny, nx, self.na, self.no)
+            # torch layout is (B, na, ny, nx, no)
+            y = y.transpose(0, 3, 1, 2, 4)
+            raws.append(y)
+            if decode:
+                s = float(self.strides[l])
+                gy, gx = jnp.meshgrid(
+                    jnp.arange(ny, dtype=y.dtype), jnp.arange(nx, dtype=y.dtype),
+                    indexing="ij",
+                )
+                grid = jnp.stack([gx, gy], -1)  # (ny, nx, 2)
+                anc = jnp.asarray(self.anchors[l] * s, y.dtype)  # (na, 2) px
+                sig = jax.nn.sigmoid(y)
+                xy = (sig[..., 0:2] * 2.0 - 0.5 + grid[None, None]) * s
+                wh = (sig[..., 2:4] * 2.0) ** 2 * anc[None, :, None, None, :]
+                out = jnp.concatenate([xy, wh, sig[..., 4:]], -1)
+                outs.append(out.reshape(B, self.na * ny * nx, self.no))
+        if decode:
+            return jnp.concatenate(outs, 1), raws
+        return raws
+
+
+# ---------------------------------------------------------------------------
+# spec -> plan builder (the parse_model equivalent)
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloSpec:
+    """Architecture spec: same grammar as the reference yaml files."""
+
+    nc: int
+    depth_multiple: float
+    width_multiple: float
+    anchors: Any  # list of per-level [w1,h1,w2,h2,...] in px, or int (# per level)
+    backbone: Tuple[tuple, ...]
+    head: Tuple[tuple, ...]
+    ch: int = 3
+
+
+_MODULE_NAMES = {
+    "Conv": Conv, "DWConv": DWConv, "Focus": Focus, "Bottleneck": Bottleneck,
+    "BottleneckCSP": BottleneckCSP, "C3": C3, "C3TR": C3TR, "C3SPP": C3SPP,
+    "C3Ghost": C3Ghost, "GhostConv": GhostConv, "GhostBottleneck": GhostBottleneck,
+    "SPP": SPP, "SPPF": SPPF, "Concat": Concat, "Contract": Contract,
+    "Expand": Expand, "nn.Upsample": Upsample, "Upsample": Upsample,
+    "Detect": Detect,
+}
+
+
+class YoloModel:
+    """A built layer plan + pure apply.
+
+    ``apply(params, x)`` returns ``(pred, raws)`` where pred is the decoded
+    (B, N, 5+nc) tensor and raws the per-level (B, na, ny, nx, no) maps
+    (pre-sigmoid, for the training loss)."""
+
+    def __init__(self, spec: YoloSpec, layers: List[Layer], save: List[int],
+                 strides: Tuple[int, ...], anchors_grid: np.ndarray):
+        self.spec = spec
+        self.layers = layers
+        self.save = save
+        self.strides = strides
+        self.anchors = anchors_grid  # (nl, na, 2) grid units
+        self.detect: Detect = layers[-1]  # type: ignore
+
+    @property
+    def nc(self) -> int:
+        return self.spec.nc
+
+    def init(self, key) -> List[Params]:
+        ks = jax.random.split(key, len(self.layers))
+        return [l.init(ks[i]) for i, l in enumerate(self.layers)]
+
+    def import_torch(self, sd: Dict[str, np.ndarray], fuse: bool = True,
+                     prefix: str = "model") -> List[Params]:
+        return [l.import_torch(sd, f"{prefix}.{l.i}", fuse) for l in self.layers]
+
+    def apply(self, params: List[Params], x, decode: bool = True):
+        saved: Dict[int, Any] = {}
+        y = x
+        for l, p in zip(self.layers, params):
+            if l.f != -1:
+                if isinstance(l.f, int):
+                    y = saved[l.f % len(self.layers)] if l.f >= 0 else y
+                else:
+                    y = [y if j == -1 else saved[j % len(self.layers)] for j in l.f]
+            y = l(p, y) if not isinstance(l, Detect) else l(p, y, decode=decode)
+            if l.i in self.save:
+                saved[l.i] = y
+        return y
+
+
+def build_yolo(spec: YoloSpec,
+               ckpt_anchors: Optional[np.ndarray] = None,
+               strides: Optional[Sequence[int]] = None) -> YoloModel:
+    """parse_model equivalent (yolo.py:243-294): width/depth scaling,
+    from-index wiring, channel propagation.
+
+    ``ckpt_anchors`` (grid units, from a checkpoint's Detect buffer)
+    overrides spec anchors — needed for AutoAnchor-evolved models whose yaml
+    just says ``anchors: N`` (the char OCR model).
+    """
+    gd, gw = spec.depth_multiple, spec.width_multiple
+    rows = list(spec.backbone) + list(spec.head)
+    ch = [spec.ch]
+    layers: List[Layer] = []
+    save: List[int] = []
+    detect_from: List[int] = []
+    for i, (f, n, mname, args) in enumerate(rows):
+        cls = _MODULE_NAMES[mname]
+        n_scaled = max(round(n * gd), 1) if n > 1 else n
+        c1 = ch[f if isinstance(f, int) else f[0]]
+        if cls in (Conv, DWConv, Focus, Bottleneck, GhostBottleneck, SPP, SPPF,
+                   GhostConv, BottleneckCSP, C3, C3TR, C3SPP, C3Ghost):
+            c2 = args[0]
+            c2 = make_divisible(c2 * gw, 8)
+            largs = [c1, c2] + list(args[1:])
+            if cls in (BottleneckCSP, C3, C3TR, C3SPP, C3Ghost):
+                if cls is C3SPP:
+                    lay = C3SPP(c1, c2, n=n_scaled,
+                                k=tuple(args[1]) if len(args) > 1 else (5, 9, 13))
+                else:
+                    shortcut = args[1] if len(args) > 1 else True
+                    lay = cls(c1, c2, n=n_scaled, shortcut=shortcut)
+            elif cls is SPP:
+                lay = cls(c1, c2, tuple(args[1]) if len(args) > 1 else (5, 9, 13))
+            elif cls is SPPF:
+                lay = cls(c1, c2, args[1] if len(args) > 1 else 5)
+            elif cls in (Conv, DWConv):
+                k = args[1] if len(args) > 1 else 1
+                s = args[2] if len(args) > 2 else 1
+                pad = args[3] if len(args) > 3 else None
+                lay = cls(c1, c2, k, s, pad)
+            elif cls is Focus:
+                lay = cls(c1, c2, args[1] if len(args) > 1 else 1,
+                          args[2] if len(args) > 2 else 1)
+            elif cls is GhostConv:
+                lay = cls(c1, c2, args[1] if len(args) > 1 else 1,
+                          args[2] if len(args) > 2 else 1)
+            elif cls is Bottleneck:
+                lay = cls(c1, c2, args[1] if len(args) > 1 else True)
+            else:
+                lay = cls(c1, c2)
+        elif cls is Concat:
+            c2 = sum(ch[j] for j in f)
+            lay = Concat()
+        elif cls is Upsample:
+            c2 = c1
+            lay = Upsample(scale=int(args[1]) if len(args) > 1 else 2)
+        elif cls in (Contract, Expand):
+            g = args[0] if args else 2
+            c2 = c1 * g * g if cls is Contract else c1 // (g * g)
+            lay = cls(g)
+        elif cls is Detect:
+            detect_from = list(f)
+            chs = tuple(ch[j] for j in f)
+            if ckpt_anchors is not None:
+                anchors_grid = np.asarray(ckpt_anchors, np.float32)
+            elif isinstance(spec.anchors, int):
+                anchors_grid = np.ones((len(f), spec.anchors, 2), np.float32)
+            else:
+                a = np.asarray(spec.anchors, np.float32).reshape(len(f), -1, 2)
+                st = np.asarray(strides, np.float32).reshape(-1, 1, 1)
+                anchors_grid = a / st  # px -> grid units
+            if strides is None:
+                raise ValueError("Detect needs strides")
+            lay = Detect(spec.nc, anchors_grid, chs, tuple(strides))
+            c2 = c1
+        else:
+            c2 = c1
+            lay = cls()
+        lay.i, lay.f = i, f
+        layers.append(lay)
+        save.extend(
+            j % i for j in ([f] if isinstance(f, int) else f) if j != -1
+        )
+        if i == 0:
+            ch = []
+        ch.append(c2)
+    save = sorted(set(save))
+    det = layers[-1]
+    return YoloModel(spec, layers, save, tuple(strides), det.anchors)
+
+
+# ---------------------------------------------------------------------------
+# production specs
+
+
+def yolov5_spec(nc: int = 80, depth: float = 0.33, width: float = 0.5,
+                anchors=None) -> YoloSpec:
+    """Standard 3-scale YOLOv5 v6.0 (reference models/yolov5s.yaml).
+    depth/width: n=0.33/0.25, s=0.33/0.5, m=0.67/0.75, l=1/1, x=1.33/1.25."""
+    if anchors is None:
+        anchors = [[10, 13, 16, 30, 33, 23],
+                   [30, 61, 62, 45, 59, 119],
+                   [116, 90, 156, 198, 373, 326]]
+    backbone = (
+        (-1, 1, "Conv", [64, 6, 2, 2]),
+        (-1, 1, "Conv", [128, 3, 2]),
+        (-1, 3, "C3", [128]),
+        (-1, 1, "Conv", [256, 3, 2]),
+        (-1, 6, "C3", [256]),
+        (-1, 1, "Conv", [512, 3, 2]),
+        (-1, 9, "C3", [512]),
+        (-1, 1, "Conv", [1024, 3, 2]),
+        (-1, 3, "C3", [1024]),
+        (-1, 1, "SPPF", [1024, 5]),
+    )
+    head = (
+        (-1, 1, "Conv", [512, 1, 1]),
+        (-1, 1, "nn.Upsample", [None, 2, "nearest"]),
+        ([-1, 6], 1, "Concat", [1]),
+        (-1, 3, "C3", [512, False]),
+        (-1, 1, "Conv", [256, 1, 1]),
+        (-1, 1, "nn.Upsample", [None, 2, "nearest"]),
+        ([-1, 4], 1, "Concat", [1]),
+        (-1, 3, "C3", [256, False]),
+        (-1, 1, "Conv", [256, 3, 2]),
+        ([-1, 14], 1, "Concat", [1]),
+        (-1, 3, "C3", [512, False]),
+        (-1, 1, "Conv", [512, 3, 2]),
+        ([-1, 10], 1, "Concat", [1]),
+        (-1, 3, "C3", [1024, False]),
+        ([17, 20, 23], 1, "Detect", ["nc", "anchors"]),
+    )
+    return YoloSpec(nc, depth, width, anchors, backbone, head)
+
+
+def plate_detector() -> YoloModel:
+    """The production plate detector: yolov5s-scale, nc=11, 3 scales —
+    structural parity with onnx_models/detection/config.pbtxt (1280^2 ->
+    100800x16; weights/object.pt is a missing blob upstream)."""
+    return build_yolo(yolov5_spec(nc=11), strides=(8, 16, 32))
+
+
+def char_ocr_spec() -> YoloSpec:
+    """Single-scale stride-8 char OCR architecture recovered from
+    weights/char.pt metadata (SURVEY.md §2.3): Focus stem, SPP, C3TR tail,
+    PAN up-path, Detect on P3 only with 2 evolved anchors."""
+    backbone = (
+        (-1, 1, "Focus", [32, 3]),
+        (-1, 1, "Conv", [64, 3, 2]),
+        (-1, 3, "C3", [64]),
+        (-1, 1, "Conv", [128, 3, 2]),
+        (-1, 9, "C3", [128]),
+        (-1, 1, "Conv", [256, 3, 2]),
+        (-1, 9, "C3", [256]),
+        (-1, 1, "Conv", [512, 3, 2]),
+        (-1, 1, "SPP", [512, [5, 9, 13]]),
+        (-1, 3, "C3TR", [512, False]),
+    )
+    head = (
+        (-1, 1, "Conv", [256, 1, 1]),
+        (-1, 1, "nn.Upsample", [None, 2, "nearest"]),
+        ([-1, 6], 1, "Concat", [1]),
+        (-1, 3, "C3", [256, False]),
+        (-1, 1, "Conv", [128, 1, 1]),
+        (-1, 1, "nn.Upsample", [None, 2, "nearest"]),
+        ([-1, 4], 1, "Concat", [1]),
+        (-1, 3, "C3", [128, False]),
+        ([17], 1, "Detect", ["nc", "anchors"]),
+    )
+    return YoloSpec(36, 0.33, 0.5, 2, backbone, head)
+
+
+def load_char_ocr(path: str, fuse: bool = True):
+    """Build + load the char OCR model from the shipped char.pt."""
+    from lpr_tpu.weights.torch_ckpt import YoloCheckpoint
+
+    ck = YoloCheckpoint(path)
+    spec = char_ocr_spec()
+    model = build_yolo(spec, ckpt_anchors=ck.anchors, strides=(8,))
+    params = model.import_torch(ck.state_dict, fuse=fuse)
+    return model, params, ck

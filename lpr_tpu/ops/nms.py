@@ -1,0 +1,143 @@
+"""TPU-native non-maximum suppression.
+
+The reference delegates NMS to torchvision's native CUDA/C++ kernel inside a
+dynamically-shaped Python loop (``yolov5/utils/general.py:677-768``).  On TPU
+dynamic shapes are poison: this implementation is fully static — score gate ->
+top-K candidate selection -> O(K^2) IoU matrix -> sequential greedy
+suppression as a ``fori_loop`` over rows of a boolean matrix.  Everything
+stays on-device; output is a fixed (max_det, 6) tensor + validity mask.
+
+Semantics match the reference for the modes the pipeline uses:
+``multi_label=True`` (every (box, class) pair over threshold is a candidate),
+``agnostic`` True/False (class-offset trick, general.py:750-752), min/max
+box size gate (general.py:694-696), conf = obj * cls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from lpr_tpu.ops.boxes import box_iou, xywh2xyxy
+
+MAX_WH = 7680.0  # class-offset stride & max box size (general.py:694)
+MIN_WH = 2.0
+
+
+def _greedy_suppress(iou: jax.Array, valid: jax.Array, iou_thres: float):
+    """Sequential greedy NMS over score-sorted candidates.
+
+    iou: (K, K) pairwise IoU (score-descending order), valid: (K,) bool.
+    Returns keep mask (K,).
+    """
+    K = iou.shape[0]
+    idx = jnp.arange(K)
+
+    def body(i, suppressed):
+        kept_i = jnp.logical_and(valid[i], jnp.logical_not(suppressed[i]))
+        newly = jnp.logical_and(kept_i, jnp.logical_and(iou[i] > iou_thres, idx > i))
+        return jnp.logical_or(suppressed, newly)
+
+    suppressed = jax.lax.fori_loop(0, K, body, jnp.zeros((K,), bool))
+    return jnp.logical_and(valid, jnp.logical_not(suppressed))
+
+
+def nms_single(
+    pred: jax.Array,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 512,
+    multi_label: bool = True,
+    agnostic: bool = True,
+    class_mask: Optional[jax.Array] = None,
+) -> dict:
+    """NMS for one image.
+
+    pred: (N, 5+nc) raw decoded predictions (xywh px, obj, cls probs).
+    class_mask: optional (nc,) bool — keep only these classes (the
+    reference's ``classes=`` filter).
+
+    Returns dict of fixed-shape arrays:
+      boxes (max_det, 4) xyxy, scores (max_det,), classes (max_det,) int32,
+      valid (max_det,) bool, count () int32.
+    """
+    n, no = pred.shape
+    nc = no - 5
+    f32 = jnp.float32
+    obj = pred[:, 4].astype(f32)
+    wh = pred[:, 2:4]
+    size_ok = jnp.logical_and(
+        jnp.all(wh >= MIN_WH, axis=-1), jnp.all(wh <= MAX_WH, axis=-1)
+    )
+    obj = jnp.where(size_ok, obj, 0.0)
+    cls_probs = pred[:, 5:].astype(f32)
+    scores_mat = obj[:, None] * cls_probs  # (N, nc)
+    if class_mask is not None:
+        scores_mat = jnp.where(class_mask[None, :], scores_mat, 0.0)
+
+    if multi_label and nc > 1:
+        flat = scores_mat.reshape(-1)  # (N*nc,)
+        gate = jnp.logical_and(flat > conf_thres, obj.repeat(nc) > conf_thres)
+        flat = jnp.where(gate, flat, -1.0)
+        k = min(pre_topk, flat.shape[0])
+        top_scores, top_idx = jax.lax.top_k(flat, k)
+        box_idx = top_idx // nc
+        cls_idx = top_idx % nc
+    else:
+        best = jnp.max(scores_mat, axis=-1)
+        cls_of = jnp.argmax(scores_mat, axis=-1)
+        gate = jnp.logical_and(best > conf_thres, obj > conf_thres)
+        best = jnp.where(gate, best, -1.0)
+        k = min(pre_topk, best.shape[0])
+        top_scores, box_idx = jax.lax.top_k(best, k)
+        cls_idx = cls_of[box_idx]
+
+    valid = top_scores > conf_thres
+    boxes = xywh2xyxy(pred[box_idx, :4].astype(f32))
+    if agnostic:
+        shifted = boxes
+    else:
+        shifted = boxes + (cls_idx.astype(f32) * MAX_WH)[:, None]
+    iou = box_iou(shifted, shifted)
+    keep = _greedy_suppress(iou, valid, iou_thres)
+
+    # compact kept detections to the front, preserving score order
+    order = jnp.argsort(jnp.where(keep, -top_scores, jnp.inf))
+    order = order[:max_det]
+    kept = keep[order]
+    return {
+        "boxes": jnp.where(kept[:, None], boxes[order], 0.0),
+        "scores": jnp.where(kept, top_scores[order], 0.0),
+        "classes": jnp.where(kept, cls_idx[order], -1).astype(jnp.int32),
+        "valid": kept,
+        "count": jnp.sum(kept.astype(jnp.int32)),
+    }
+
+
+def nms_batched(
+    pred: jax.Array,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 512,
+    multi_label: bool = True,
+    agnostic: bool = True,
+    class_mask: Optional[jax.Array] = None,
+) -> dict:
+    """Batched NMS: pred (B, N, 5+nc) -> dict of (B, max_det, ...) arrays."""
+    fn = functools.partial(
+        nms_single,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        pre_topk=pre_topk,
+        multi_label=multi_label,
+        agnostic=agnostic,
+    )
+    if class_mask is not None:
+        return jax.vmap(lambda p: fn(p, class_mask=class_mask))(pred)
+    return jax.vmap(fn)(pred)

@@ -1,0 +1,127 @@
+"""YOLO family + NMS parity tests (golden oracle: reference torch model on
+weights/char.pt and reference non_max_suppression; see tools/make_golden.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lpr_tpu.models.yolo import (
+    build_yolo,
+    char_ocr_spec,
+    load_char_ocr,
+    plate_detector,
+    yolov5_spec,
+)
+from lpr_tpu.ops.nms import nms_batched, nms_single
+
+from .conftest import REF_CHAR, requires_ref
+
+
+@pytest.fixture(scope="module")
+def char_model():
+    return load_char_ocr(REF_CHAR)
+
+
+@requires_ref
+def test_char_ocr_parity(char_yolo_golden, char_model):
+    model, params, ck = char_model
+    x = jnp.asarray(np.transpose(char_yolo_golden["x"], (0, 2, 3, 1)))
+    pred, _ = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    pred = np.asarray(pred)
+    ref = char_yolo_golden["pred"]
+    assert pred.shape == tuple(ref.shape)
+    assert np.abs(pred[..., :4] - ref[..., :4]).max() < 1e-3  # px coords
+    assert np.abs(pred[..., 4:] - ref[..., 4:]).max() < 1e-5  # probabilities
+
+
+@requires_ref
+def test_char_ocr_metadata(char_model):
+    model, params, ck = char_model
+    assert ck.nc == 36
+    assert ck.names[:10] == list("0123456789")
+    assert model.strides == (8,)
+    assert model.anchors.shape == (1, 2, 2)
+
+
+def test_plate_detector_output_shape():
+    """Structural parity with onnx_models/detection/config.pbtxt:
+    1280x1280 -> (100800, 16) for nc=11 (weights are a missing blob)."""
+    model = plate_detector()
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 1280, 1280, 3))
+    pred, raws = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    assert pred.shape == (1, 100800, 16)
+    assert [r.shape for r in raws] == [
+        (1, 3, 160, 160, 16),
+        (1, 3, 80, 80, 16),
+        (1, 3, 40, 40, 16),
+    ]
+
+
+@requires_ref
+def test_nms_parity_on_real_preds(char_yolo_golden, char_model):
+    """Our padded NMS must select the same detections as the reference
+    non_max_suppression on the char model's real outputs."""
+    ref_dets = np.load("tests/fixtures/nms_golden.npz")
+    pred = jnp.asarray(char_yolo_golden["pred"])
+    out = jax.jit(
+        lambda p: nms_batched(p, conf_thres=0.25, iou_thres=0.3, max_det=300)
+    )(pred)
+    for i in range(pred.shape[0]):
+        ref = ref_dets[f"det{i}"]
+        n = int(out["count"][i])
+        assert n == len(ref)
+        if n:
+            got = np.concatenate(
+                [
+                    np.asarray(out["boxes"][i][:n]),
+                    np.asarray(out["scores"][i][:n, None]),
+                    np.asarray(out["classes"][i][:n, None], np.float32),
+                ],
+                axis=1,
+            )
+            # order by score desc in both
+            ref = ref[np.argsort(-ref[:, 4])]
+            np.testing.assert_allclose(got[:, :4], ref[:, :4], atol=1e-2)
+            np.testing.assert_allclose(got[:, 4], ref[:, 4], atol=1e-4)
+            np.testing.assert_array_equal(got[:, 5], ref[:, 5])
+
+
+def test_nms_parity_synthetic():
+    """Dense clustered synthetic candidates vs the reference algorithm."""
+    d = np.load("tests/fixtures/nms_synth_golden.npz")
+    raw = jnp.asarray(d["raw"])  # (1, 400, 41)
+    ref = d["det"]  # (n, 6)
+    out = jax.jit(
+        lambda p: nms_batched(p, conf_thres=0.25, iou_thres=0.45, max_det=300)
+    )(raw)
+    n = int(out["count"][0])
+    assert n == len(ref)
+    got_scores = np.sort(np.asarray(out["scores"][0][:n]))
+    ref_scores = np.sort(ref[:, 4])
+    np.testing.assert_allclose(got_scores, ref_scores, atol=1e-5)
+    got_cls = np.sort(np.asarray(out["classes"][0][:n]))
+    np.testing.assert_array_equal(got_cls, np.sort(ref[:, 5].astype(np.int32)))
+
+
+def test_nms_empty():
+    pred = jnp.zeros((2, 100, 10))
+    out = jax.jit(lambda p: nms_batched(p, max_det=20, pre_topk=64))(pred)
+    assert int(out["count"].sum()) == 0
+    assert out["boxes"].shape == (2, 20, 4)
+
+
+def test_nms_class_filter():
+    """classes= filter (reference triton_run.py:225-226 plate-class gate)."""
+    pred = np.zeros((1, 10, 8), np.float32)  # nc=3
+    pred[0, 0] = [50, 50, 20, 20, 0.9, 0.1, 0.9, 0.1]  # class 1
+    pred[0, 1] = [100, 100, 20, 20, 0.9, 0.9, 0.05, 0.05]  # class 0
+    mask = jnp.asarray([False, True, True])
+    out = jax.jit(
+        lambda p: nms_batched(p, conf_thres=0.25, max_det=10, pre_topk=16,
+                              class_mask=mask)
+    )(jnp.asarray(pred))
+    n = int(out["count"][0])
+    assert n == 1
+    assert int(out["classes"][0, 0]) == 1
