@@ -1,0 +1,256 @@
+"""Fused end-to-end plate recognition pipeline.
+
+Reference pipeline (``inference/run.py:153-277``): per frame, sequentially on
+the host — plate detect -> top-3 by area -> crop -> OpenCV Hough deskew ->
+2-row->1-row reshape -> OCR on original -> PIL resize -> LPSR -> restack ->
+OCR on SR — with a device<->host round trip at every arrow and batch size 1.
+
+TPU re-design: ONE jitted program over a batch of frames.  Detection, NMS,
+top-K plate selection, oriented crop/deskew (gradient-based angle estimate
+fused into the crop gather), row reshaping (sub-box sampling), LPSR, both OCR
+passes and char NMS all run on device; only the final tiny (boxes, classes,
+valid) arrays land on the host for string assembly.
+
+Geometry notes
+--------------
+- Plate detect input is aspect-preserving letterbox with black fill —
+  the device analogue of reference ``ResizeImg`` (detection.py:73-93).
+- 2-row -> 1-row: instead of hconcat of image halves (run.py:40-52), the
+  top/bottom halves of the *rotated box* are sampled straight into the left/
+  right halves of the 192x32 SR input.
+- OCR-on-original input: square canvas sampled around the rotated box with
+  outside-box masking == crop + deskew + ResizeImg-pad (black).
+- OCR-on-SR input: the 1-channel SR output is broadcast to RGB (the
+  reference's RGB2BGR on 1 channel throws — SURVEY.md §2.1 quirk; we do the
+  intended thing), restacked to 2 rows when the plate was squarish.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lpr_tpu.models.lpsr import LPSRConfig, lpsr_apply
+from lpr_tpu.models.yolo import YoloModel
+from lpr_tpu.ops import image as im
+from lpr_tpu.ops.boxes import clip_boxes
+from lpr_tpu.ops.nms import nms_batched
+from lpr_tpu.pipeline.chars import detections_to_string
+
+# Plate-detector class names (reference yolo_classes/detect_class_names.txt).
+DETECT_CLASSES = (
+    "motorbike", "car", "bus", "truck", "fire truck", "ambulance",
+    "police car", "square license plate", "rectangle license plate",
+    "tuktuk", "bike",
+)
+PLATE_CLASS_IDS = (7, 8)  # square / rectangle license plate
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    det_hw: Tuple[int, int] = (1280, 1280)   # reference run.py:108
+    ocr_hw: Tuple[int, int] = (128, 128)     # run.py:109
+    sr_hw: Tuple[int, int] = (32, 192)       # run.py:80-96
+    det_conf: float = 0.7                    # run.py:110
+    ocr_conf: float = 0.25                   # run.py:111
+    iou: float = 0.3                         # run.py:112
+    max_plates: int = 3                      # run.py:180
+    max_chars: int = 16
+    long_aspect: float = 1.5                 # run.py:22
+    deskew: bool = True
+    dtype: Any = jnp.bfloat16
+
+
+def _aspect_canvas(img: jax.Array, canvas_hw: Tuple[int, int],
+                   src_hw: Tuple[int, int]) -> jax.Array:
+    """Place ``img`` (static src_hw) into a canvas, aspect-preserving,
+    centered, black pad — static-shape ResizeImg."""
+    ch, cw = canvas_hw
+    sh, sw = src_hw
+    scale = min(ch / sh, cw / sw)
+    nh, nw = int(round(sh * scale)), int(round(sw * scale))
+    resized = im.resize_bilinear(img, (nh, nw))
+    canvas = jnp.zeros((ch, cw, img.shape[-1]), img.dtype)
+    return jax.lax.dynamic_update_slice(
+        canvas, resized, ((ch - nh) // 2, (cw - nw) // 2, 0)
+    )
+
+
+class PlateRecognizer:
+    """Batched detect -> enhance -> recognize, one jit.
+
+    Construct with built models + params; call :meth:`recognize` with a
+    uint8 frame batch.
+    """
+
+    def __init__(
+        self,
+        plate_model: YoloModel,
+        plate_params,
+        char_model: YoloModel,
+        char_params,
+        lpsr_params,
+        lpsr_cfg: LPSRConfig = LPSRConfig(),
+        cfg: PipelineConfig = PipelineConfig(),
+        plate_class_ids: Sequence[int] = PLATE_CLASS_IDS,
+        char_names: Optional[Sequence[str]] = None,
+    ):
+        self.plate_model = plate_model
+        self.char_model = char_model
+        self.cfg = cfg
+        self.lpsr_cfg = lpsr_cfg
+        self.char_names = char_names
+        mask = np.zeros((plate_model.nc,), bool)
+        mask[list(plate_class_ids)] = True
+        self.plate_mask = jnp.asarray(mask)
+        self.params = {
+            "plate": plate_params,
+            "char": char_params,
+            "lpsr": lpsr_params,
+        }
+        self._step = jax.jit(self._build_step())
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        cfg = self.cfg
+        lpsr_cfg = self.lpsr_cfg
+
+        def per_plate(frame, box, angle_on):
+            """Device-side geometry for one plate of one frame."""
+            # skew estimate on a coarse gray crop
+            coarse = im.crop_rotated(frame, box, jnp.float32(0.0), (32, 96))
+            gray = im.rgb_to_gray(coarse)
+            w = box[2] - box[0]
+            h = jnp.maximum(box[3] - box[1], 1.0)
+            aspect = (w / 96.0) / (h / 32.0)
+            angle = im.estimate_skew_angle(
+                gray, max_abs_deg=30.0, pixel_aspect=aspect
+            ) * angle_on
+            is_long = (w / h) > cfg.long_aspect
+            sh, sw = cfg.sr_hw
+            # 1-row long image for SR input
+            full = im.crop_rotated(frame, box, angle, (sh, sw))
+            top = im.crop_rotated(frame, box, angle, (sh, sw // 2),
+                                  v_range=(-0.5, 0.0))
+            bot = im.crop_rotated(frame, box, angle, (sh, sw // 2),
+                                  v_range=(0.0, 0.5))
+            two_row = jnp.concatenate([top, bot], axis=1)
+            long_img = jnp.where(is_long, full, two_row)
+            # OCR canvas from the original frame (straightened, aspect-pad)
+            ocr_orig = im.crop_rotated(frame, box, angle, cfg.ocr_hw,
+                                       square=True, mask_outside=True)
+            return long_img, ocr_orig, is_long
+
+        def sr_to_ocr_canvas(sr_long, is_long):
+            """SR output (sh, sw, 1) -> (ocr_h, ocr_w, 3) canvas."""
+            sh, sw = cfg.sr_hw
+            rgb = jnp.repeat(sr_long, 3, axis=-1)
+            restacked = jnp.concatenate(
+                [rgb[:, : sw // 2, :], rgb[:, sw // 2 :, :]], axis=0
+            )  # (2*sh, sw//2, 3)
+            canv_sq = _aspect_canvas(restacked, cfg.ocr_hw, (2 * sh, sw // 2))
+            canv_long = _aspect_canvas(rgb, cfg.ocr_hw, (sh, sw))
+            return jnp.where(is_long, canv_long, canv_sq)
+
+        def step(params, frames):
+            B = frames.shape[0]
+            P = cfg.max_plates
+            x = im.uint8_to_float(frames)
+            fh, fw = x.shape[1], x.shape[2]
+            lb, gain, pad = im.letterbox(x, cfg.det_hw, fill=0.0)
+            pred, _ = self.plate_model.apply(params["plate"], lb.astype(cfg.dtype))
+            det = nms_batched(
+                pred, cfg.det_conf, cfg.iou, max_det=16, pre_topk=128,
+                multi_label=True, agnostic=True, class_mask=self.plate_mask,
+            )
+            # letterbox -> original frame coords
+            boxes = (det["boxes"] - jnp.concatenate([pad, pad])) / gain
+            boxes = clip_boxes(boxes, fh, fw)
+            areas = (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+            areas = jnp.where(det["valid"], areas, -1.0)
+            top_areas, top_idx = jax.lax.top_k(areas, P)  # (B, P)
+            plate_valid = top_areas > 0
+            sel_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+            sel_scores = jnp.take_along_axis(det["scores"], top_idx, axis=1)
+            sel_classes = jnp.take_along_axis(det["classes"], top_idx, axis=1)
+
+            angle_on = jnp.float32(1.0 if cfg.deskew else 0.0)
+            pp = jax.vmap(  # over plates within a frame
+                lambda frame, box: per_plate(frame, box, angle_on),
+                in_axes=(None, 0),
+            )
+            long_img, ocr_orig, is_long = jax.vmap(pp)(x, sel_boxes)
+            # (B, P, sh, sw, 3), (B, P, oh, ow, 3), (B, P)
+            sh, sw = cfg.sr_hw
+            oh, ow = cfg.ocr_hw
+            sr_in = long_img.reshape(B * P, sh, sw, 3)
+            sr_out = lpsr_apply(params["lpsr"], sr_in.astype(cfg.dtype), lpsr_cfg)
+            sr_out = sr_out.astype(jnp.float32)
+            ocr_sr = jax.vmap(sr_to_ocr_canvas)(
+                sr_out, is_long.reshape(B * P, 1, 1, 1)
+            )
+            ocr_in = jnp.concatenate(
+                [ocr_orig.reshape(B * P, oh, ow, 3), ocr_sr], axis=0
+            )  # (2*B*P, oh, ow, 3)
+            cpred, _ = self.char_model.apply(params["char"], ocr_in.astype(cfg.dtype))
+            cdet = nms_batched(
+                cpred, cfg.ocr_conf, cfg.iou, max_det=cfg.max_chars,
+                pre_topk=256, multi_label=True, agnostic=True,
+            )
+            return {
+                "plate_boxes": sel_boxes,
+                "plate_scores": sel_scores,
+                "plate_classes": sel_classes,
+                "plate_valid": plate_valid,
+                "is_long": is_long,
+                "sr": sr_out.reshape(B, P, sh, sw, 1),
+                "chars_orig": jax.tree.map(
+                    lambda a: a[: B * P].reshape(B, P, *a.shape[1:]), cdet
+                ),
+                "chars_sr": jax.tree.map(
+                    lambda a: a[B * P :].reshape(B, P, *a.shape[1:]), cdet
+                ),
+            }
+
+        return step
+
+    # ------------------------------------------------------------------
+    def recognize(self, frames: np.ndarray) -> List[List[Dict[str, Any]]]:
+        """frames: (B, H, W, 3) uint8 RGB.  Returns per-frame lists of plate
+        dicts with original-OCR and SR-OCR strings."""
+        out = jax.device_get(self._step(self.params, jnp.asarray(frames)))
+        results: List[List[Dict[str, Any]]] = []
+        names = self.char_names
+        B, P = out["plate_valid"].shape
+        for b in range(B):
+            plates = []
+            for p in range(P):
+                if not out["plate_valid"][b, p]:
+                    continue
+                co = out["chars_orig"]
+                cs = out["chars_sr"]
+                kw = {} if names is None else {"names": names}
+                plates.append({
+                    "box": out["plate_boxes"][b, p].tolist(),
+                    "score": float(out["plate_scores"][b, p]),
+                    "class_id": int(out["plate_classes"][b, p]),
+                    "is_long": bool(out["is_long"][b, p]),
+                    "text": detections_to_string(
+                        co["boxes"][b, p], co["classes"][b, p],
+                        co["valid"][b, p], **kw),
+                    "text_sr": detections_to_string(
+                        cs["boxes"][b, p], cs["classes"][b, p],
+                        cs["valid"][b, p], **kw),
+                    "sr": out["sr"][b, p],
+                })
+            results.append(plates)
+        return results
+
+    def step_raw(self, frames) -> Dict[str, Any]:
+        """Jitted device step only (for benchmarking / serving)."""
+        return self._step(self.params, frames)

@@ -1,0 +1,113 @@
+"""Pipeline geometry + end-to-end smoke tests (CPU, small sizes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lpr_tpu.models.lpsr import LPSRConfig, lpsr_init
+from lpr_tpu.models.yolo import build_yolo, yolov5_spec
+from lpr_tpu.ops import image as im
+from lpr_tpu.pipeline.chars import detections_to_string, reading_order
+from lpr_tpu.pipeline.recognizer import PipelineConfig, PlateRecognizer
+
+
+def test_letterbox_geometry():
+    x = jnp.ones((2, 100, 200, 3))
+    out, gain, pad = jax.jit(lambda x: im.letterbox(x, (128, 128), fill=0.0))(x)
+    assert out.shape == (2, 128, 128, 3)
+    # gain = 128/200; content height = 64; pad_top = 32
+    assert abs(float(gain) - 0.64) < 1e-6
+    assert float(pad[0]) == 0 and float(pad[1]) == 32
+    assert float(out[0, 0, 0, 0]) == 0.0  # padded row
+    assert float(out[0, 64, 64, 0]) == 1.0  # content
+
+
+def test_crop_rotated_identity():
+    """Unrotated crop of the full image == resize."""
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(64, 128, 3).astype(np.float32))
+    box = jnp.asarray([0.0, 0.0, 128.0, 64.0])
+    out = jax.jit(
+        lambda i, b: im.crop_rotated(i, b, jnp.float32(0.0), (64, 128))
+    )(img, box)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=0.02)
+
+
+def test_crop_rotated_halves_stack():
+    """Top/bottom-half sampling reassembles the full crop."""
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(64, 128, 3).astype(np.float32))
+    box = jnp.asarray([10.0, 10.0, 110.0, 50.0])
+    f = jax.jit(
+        lambda i, b: (
+            im.crop_rotated(i, b, jnp.float32(0.0), (32, 96)),
+            im.crop_rotated(i, b, jnp.float32(0.0), (16, 96), v_range=(-0.5, 0.0)),
+            im.crop_rotated(i, b, jnp.float32(0.0), (16, 96), v_range=(0.0, 0.5)),
+        )
+    )
+    full, top, bot = f(img, box)
+    stacked = jnp.concatenate([top, bot], axis=0)
+    np.testing.assert_allclose(np.asarray(stacked), np.asarray(full), atol=1e-5)
+
+
+def test_skew_estimation_recovers_rotation():
+    """A synthetic striped plate rotated by t should estimate ~t."""
+    h, w = 64, 192
+    yy = np.arange(h)[:, None] * np.ones((1, w))
+    stripes = ((yy // 8) % 2).astype(np.float32)  # horizontal stripes
+    img = jnp.asarray(np.stack([stripes] * 3, -1))
+    true_angle = np.deg2rad(7.0)
+    box = jnp.asarray([16.0, 16.0, 176.0, 48.0])
+    # sample the stripes under rotation -true_angle => content tilted by +t
+    tilted = im.crop_rotated(img, box, jnp.float32(-true_angle), (32, 96))
+    aspect = (160.0 / 96.0) / (32.0 / 32.0)
+    est = float(im.estimate_skew_angle(im.rgb_to_gray(tilted), pixel_aspect=aspect))
+    assert abs(est - true_angle) < np.deg2rad(1.5)
+
+
+def test_reading_order_two_rows():
+    # two rows of three chars each, jumbled input order
+    boxes = np.array([
+        [40, 30, 50, 40],   # row2 x=40
+        [0, 0, 10, 10],     # row1 x=0
+        [20, 31, 30, 41],   # row2 x=20
+        [40, 1, 50, 11],    # row1 x=40
+        [0, 29, 10, 39],    # row2 x=0
+        [20, 2, 30, 12],    # row1 x=20
+    ], np.float32)
+    order = reading_order(boxes)
+    assert list(order) == [1, 5, 3, 4, 2, 0]
+
+
+def test_detections_to_string():
+    boxes = np.array([[20, 0, 30, 10], [0, 0, 10, 10]], np.float32)
+    classes = np.array([10, 0])  # 'a', '0'
+    valid = np.array([True, True])
+    assert detections_to_string(boxes, classes, valid) == "0A"
+
+
+@pytest.fixture(scope="module")
+def tiny_recognizer():
+    """Small random-weight pipeline for shape/flow testing (det at 320^2)."""
+    plate = build_yolo(yolov5_spec(nc=11, depth=0.33, width=0.25), strides=(8, 16, 32))
+    char = build_yolo(yolov5_spec(nc=36, depth=0.33, width=0.25), strides=(8, 16, 32))
+    key = jax.random.PRNGKey(0)
+    cfg = PipelineConfig(det_hw=(320, 320), det_conf=0.001, ocr_conf=0.9,
+                         dtype=jnp.float32)
+    lpsr_cfg = LPSRConfig()
+    rec = PlateRecognizer(
+        plate, plate.init(key), char, char.init(key),
+        lpsr_init(key, lpsr_cfg), lpsr_cfg, cfg,
+    )
+    return rec
+
+
+def test_pipeline_smoke(tiny_recognizer):
+    frames = (np.random.RandomState(0).rand(2, 240, 320, 3) * 255).astype(np.uint8)
+    results = tiny_recognizer.recognize(frames)
+    assert len(results) == 2
+    for plates in results:
+        for p in plates:
+            assert set(p) >= {"box", "score", "text", "text_sr", "is_long"}
+            assert isinstance(p["text"], str)
