@@ -1,0 +1,94 @@
+"""End-to-end pipeline benchmark: frames/sec/chip for detect->SR->OCR.
+
+Runs the fused recognizer step (plate YOLO @ 1280^2 + top-3 crop/deskew +
+LPSR + 2x char OCR + NMS, one jitted program) on the real TPU with the
+shipped char/LPSR weights (plate-detector weights are a missing blob
+upstream — a same-architecture random init stands in; FLOPs identical).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is vs the 500 fps/chip north-star (BASELINE.md; the reference
+itself publishes no FPS — "low end-to-end FPS", README.md:261).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lpr_tpu_jax_cache")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lpr_tpu.models.lpsr import LPSRConfig, load_lpsr, lpsr_init
+    from lpr_tpu.models.yolo import build_yolo, load_char_ocr, yolov5_spec
+    from lpr_tpu.pipeline.recognizer import PipelineConfig, PlateRecognizer
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    frame_hw = (720, 1280)
+
+    key = jax.random.PRNGKey(0)
+    plate = build_yolo(yolov5_spec(nc=11), strides=(8, 16, 32))
+    plate_params = plate.init(key)
+
+    ref_char = "/root/reference/weights/char.pt"
+    ref_lpsr = "/root/reference/weights/best_model.pth"
+    lpsr_cfg = LPSRConfig()
+    if os.path.exists(ref_char):
+        char, char_params, ck = load_char_ocr(ref_char)
+        lpsr_params = load_lpsr(ref_lpsr, lpsr_cfg)
+        char_names = ck.names
+    else:  # fallback: random weights, same architectures
+        from lpr_tpu.models.yolo import char_ocr_spec
+
+        char = build_yolo(char_ocr_spec(),
+                          ckpt_anchors=np.ones((1, 2, 2), np.float32) * 2,
+                          strides=(8,))
+        char_params = char.init(key)
+        lpsr_params = lpsr_init(key, lpsr_cfg)
+        char_names = None
+
+    cfg = PipelineConfig(det_hw=(1280, 1280), dtype=jnp.bfloat16)
+    rec = PlateRecognizer(plate, plate_params, char, char_params,
+                          lpsr_params, lpsr_cfg, cfg, char_names=char_names)
+
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(
+        rng.randint(0, 255, (steps, batch, *frame_hw, 3), dtype=np.uint8)
+    )
+
+    # NOTE: on the axon remote platform block_until_ready does not
+    # synchronize; chain the steps with lax.scan and fetch a scalar so the
+    # wall clock measures real device execution.
+    def chained(params, all_frames):
+        def body(acc, fr):
+            out = rec._step(params, fr)
+            dep = (out["plate_boxes"].sum()
+                   + out["chars_sr"]["scores"].sum()
+                   + out["sr"].mean())
+            return acc + dep.astype(jnp.float32), ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), all_frames)
+        return acc
+
+    f = jax.jit(chained)
+    np.asarray(f(rec.params, frames))  # compile + warmup
+    t0 = time.perf_counter()
+    np.asarray(f(rec.params, frames))
+    dt = time.perf_counter() - t0
+
+    fps = batch * steps / dt
+    print(json.dumps({
+        "metric": "e2e_detect_sr_ocr_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 500.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
