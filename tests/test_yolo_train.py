@@ -1,0 +1,108 @@
+"""YOLO loss + trainer tests: assignment correctness, overfit-a-tiny-batch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lpr_tpu.models.yolo import YoloSpec, build_yolo
+from lpr_tpu.train.yolo import YoloTrainConfig, YoloTrainer, EarlyStopping, fitness
+from lpr_tpu.train.yolo_loss import (
+    YoloLossConfig,
+    build_targets_level,
+    yolo_loss,
+)
+
+
+def tiny_spec(nc=3):
+    backbone = (
+        (-1, 1, "Conv", [16, 3, 2]),
+        (-1, 1, "Conv", [32, 3, 2]),
+        (-1, 1, "C3", [32]),
+        (-1, 1, "Conv", [64, 3, 2]),
+        (-1, 1, "C3", [64]),
+    )
+    head = (([4], 1, "Detect", ["nc", "anchors"]),)
+    return YoloSpec(nc, 1.0, 1.0, [[10, 10, 30, 30]], backbone, head)
+
+
+def test_build_targets_center_cell():
+    labels = jnp.asarray([[1.0, 0.5, 0.5, 0.25, 0.25],
+                          [0.0, 0.0, 0.0, 0.0, 0.0]])  # 1 valid + 1 pad
+    anchors = jnp.asarray([[2.0, 2.0]])
+    out = build_targets_level(labels, anchors, (8, 8), anchor_t=4.0)
+    # target at grid (4.0, 4.0), wh = 2 grid units, ratio 1 -> pass
+    m = np.asarray(out["mask"][0, 0])  # (5,) offsets for target 0
+    assert m[0]  # center cell always on
+    assert not np.asarray(out["mask"][0, 1]).any()  # padded row off everywhere
+    gi = np.asarray(out["gi"][0, 0])
+    gj = np.asarray(out["gj"][0, 0])
+    assert gi[0] == 4 and gj[0] == 4
+
+
+def test_build_targets_anchor_filter():
+    labels = jnp.asarray([[0.0, 0.5, 0.5, 0.5, 0.5]])
+    anchors = jnp.asarray([[0.5, 0.5]])  # ratio = 8 > 4 -> filtered
+    out = build_targets_level(labels, anchors, (8, 8), anchor_t=4.0)
+    assert not np.asarray(out["mask"]).any()
+
+
+def test_yolo_loss_finite_and_positive():
+    model = build_yolo(tiny_spec(), strides=(8,))
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    raws = model.apply(params, x, decode=False)
+    labels = jnp.asarray([
+        [[0.0, 0.5, 0.5, 0.3, 0.3], [1.0, 0.25, 0.25, 0.2, 0.2]],
+        [[2.0, 0.7, 0.6, 0.4, 0.2], [0.0, 0.0, 0.0, 0.0, 0.0]],
+    ])
+    total, comps = jax.jit(
+        lambda r, l: yolo_loss(r, l, jnp.asarray(model.anchors))
+    )(raws, labels)
+    assert np.isfinite(float(total)) and float(total) > 0
+    for k in ("box", "obj", "cls"):
+        assert np.isfinite(float(comps[k]))
+
+
+def test_yolo_loss_empty_labels():
+    model = build_yolo(tiny_spec(), strides=(8,))
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    raws = model.apply(params, x, decode=False)
+    labels = jnp.zeros((1, 4, 5))
+    total, comps = yolo_loss(raws, labels, jnp.asarray(model.anchors))
+    assert np.isfinite(float(total))
+    assert float(comps["box"]) == 0.0 and float(comps["cls"]) == 0.0
+
+
+def test_yolo_overfit_tiny():
+    """Training on one fixed batch must drive the loss down and make the
+    detector find the object."""
+    model = build_yolo(tiny_spec(), strides=(8,))
+    trainer = YoloTrainer(
+        model,
+        YoloTrainConfig(lr0=0.02, warmup_epochs=0.0, epochs=10000),
+        steps_per_epoch=1,
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    img = np.zeros((1, 64, 64, 3), np.float32)
+    img[0, 24:40, 16:48] = 1.0  # bright box at cx=.5, cy=.5, w=.5, h=.25
+    img += rng.rand(*img.shape).astype(np.float32) * 0.05
+    images = jnp.asarray(img)
+    labels = jnp.asarray([[[1.0, 0.5, 0.5, 0.5, 0.25]]])
+    losses = []
+    for _ in range(60):
+        state, total, comps = trainer.step(state, images, labels)
+        losses.append(float(total))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    # EMA tracked and finite
+    leaves = jax.tree.leaves(state["ema"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_early_stopping_and_fitness():
+    es = EarlyStopping(patience=2)
+    assert not es(0, 0.5)
+    assert not es(1, 0.4)
+    assert es(2, 0.3)
+    assert fitness({"map": 0.5, "map50": 0.7}) == 0.9 * 0.5 + 0.1 * 0.7
