@@ -1,0 +1,314 @@
+"""YOLO detection dataset: YOLO-txt labels, letterbox, mosaic, HSV,
+perspective, flips — host-side numpy producing fixed-shape device batches.
+
+Reference counterparts: ``yolov5/utils/datasets.py`` (LoadImagesAndLabels,
+mosaic4 :648-703, collate :779) and ``yolov5/utils/augmentations.py``
+(augment_hsv :47, random_perspective :124, letterbox :91).
+
+TPU re-design: labels are padded to a fixed ``max_labels`` per image
+([class, cx, cy, w, h] normalized; pad rows have w=0) so the training step
+has static shapes.  Geometry (affine/mosaic) is numpy; HSV runs in cv2 when
+available with a numpy fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import random
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+from lpr_tpu.data.datasets import IMG_EXTS
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloAugConfig:
+    """Defaults = reference hyp.scratch-low.yaml."""
+
+    hsv_h: float = 0.015
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    degrees: float = 0.0
+    translate: float = 0.1
+    scale: float = 0.5
+    shear: float = 0.0
+    perspective: float = 0.0
+    flipud: float = 0.0
+    fliplr: float = 0.5
+    mosaic: float = 1.0
+
+
+def load_yolo_labels(path: str) -> np.ndarray:
+    """Read a YOLO .txt label file -> (n, 5) [cls, cx, cy, w, h]."""
+    if not os.path.exists(path):
+        return np.zeros((0, 5), np.float32)
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 5:
+                rows.append([float(x) for x in parts[:5]])
+    return np.asarray(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+
+
+def letterbox_np(img: np.ndarray, hw: Tuple[int, int],
+                 fill: int = 114) -> Tuple[np.ndarray, float, Tuple[float, float]]:
+    """Host letterbox (reference augmentations.py:91-121, auto=False)."""
+    h, w = img.shape[:2]
+    oh, ow = hw
+    r = min(oh / h, ow / w)
+    nh, nw = int(round(h * r)), int(round(w * r))
+    pil = Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
+    out = np.full((oh, ow, 3), fill, np.uint8)
+    top, left = (oh - nh) // 2, (ow - nw) // 2
+    out[top : top + nh, left : left + nw] = np.asarray(pil)
+    return out, r, (left, top)
+
+
+def augment_hsv(img: np.ndarray, rng: random.Random, h=0.015, s=0.7, v=0.4):
+    """Random HSV gains (reference augmentations.py:47-58)."""
+    if not _HAS_CV2:
+        gain = 1.0 + rng.uniform(-v, v)
+        return np.clip(img.astype(np.float32) * gain, 0, 255).astype(np.uint8)
+    r = np.array([rng.uniform(-1, 1) * h, rng.uniform(-1, 1) * s,
+                  rng.uniform(-1, 1) * v]) + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
+    dtype = img.dtype
+    x = np.arange(0, 256, dtype=r.dtype)
+    lut_hue = ((x * r[0]) % 180).astype(dtype)
+    lut_sat = np.clip(x * r[1], 0, 255).astype(dtype)
+    lut_val = np.clip(x * r[2], 0, 255).astype(dtype)
+    hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat),
+                     cv2.LUT(val, lut_val)))
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+
+def random_perspective(
+    img: np.ndarray, labels_px: np.ndarray, rng: random.Random,
+    cfg: YoloAugConfig, border: Tuple[int, int] = (0, 0),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random affine/perspective warp of image + xyxy px labels
+    (reference augmentations.py:124-201)."""
+    h = img.shape[0] + border[0] * 2
+    w = img.shape[1] + border[1] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -img.shape[1] / 2
+    C[1, 2] = -img.shape[0] / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-cfg.perspective, cfg.perspective)
+    P[2, 1] = rng.uniform(-cfg.perspective, cfg.perspective)
+    R = np.eye(3)
+    a = rng.uniform(-cfg.degrees, cfg.degrees)
+    s = rng.uniform(1 - cfg.scale, 1 + cfg.scale)
+    cos_a, sin_a = math.cos(math.radians(a)) * s, math.sin(math.radians(a)) * s
+    R[:2, :2] = [[cos_a, -sin_a], [sin_a, cos_a]]
+    S = np.eye(3)
+    S[0, 1] = math.tan(math.radians(rng.uniform(-cfg.shear, cfg.shear)))
+    S[1, 0] = math.tan(math.radians(rng.uniform(-cfg.shear, cfg.shear)))
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - cfg.translate, 0.5 + cfg.translate) * w
+    T[1, 2] = rng.uniform(0.5 - cfg.translate, 0.5 + cfg.translate) * h
+    M = T @ S @ R @ P @ C
+
+    if _HAS_CV2:
+        warped = cv2.warpAffine(img, M[:2], dsize=(w, h),
+                                borderValue=(114, 114, 114))
+    else:  # nearest-sample fallback
+        inv = np.linalg.inv(M)
+        ys, xs = np.mgrid[0:h, 0:w]
+        pts = np.stack([xs, ys, np.ones_like(xs)], -1) @ inv.T
+        sx = np.clip(pts[..., 0].astype(int), 0, img.shape[1] - 1)
+        sy = np.clip(pts[..., 1].astype(int), 0, img.shape[0] - 1)
+        inside = ((pts[..., 0] >= 0) & (pts[..., 0] < img.shape[1])
+                  & (pts[..., 1] >= 0) & (pts[..., 1] < img.shape[0]))
+        warped = np.where(inside[..., None], img[sy, sx],
+                          np.uint8(114))
+
+    if len(labels_px):
+        n = len(labels_px)
+        pts = np.ones((n * 4, 3))
+        pts[:, :2] = labels_px[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+        pts = pts @ M.T
+        pts = pts[:, :2].reshape(n, 8)
+        x = pts[:, [0, 2, 4, 6]]
+        y = pts[:, [1, 3, 5, 7]]
+        new = np.stack(
+            [x.min(1), y.min(1), x.max(1), y.max(1)], 1
+        )
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+        # candidate filter (reference box_candidates): min size + area ratio
+        ow = labels_px[:, 3] - labels_px[:, 1]
+        ohh = labels_px[:, 4] - labels_px[:, 2]
+        nw_ = new[:, 2] - new[:, 0]
+        nh_ = new[:, 3] - new[:, 1]
+        ar = np.maximum(nw_ / (nh_ + 1e-16), nh_ / (nw_ + 1e-16))
+        keep = ((nw_ > 2) & (nh_ > 2)
+                & (nw_ * nh_ / (ow * ohh * s * s + 1e-16) > 0.1) & (ar < 20))
+        labels_px = np.concatenate(
+            [labels_px[keep, :1], new[keep]], 1
+        )
+    return warped, labels_px
+
+
+class YoloDataset:
+    """images dir + labels dir (same stem, .txt), mosaic + aug pipeline."""
+
+    def __init__(
+        self,
+        img_dir: str,
+        label_dir: Optional[str] = None,
+        img_hw: Tuple[int, int] = (640, 640),
+        max_labels: int = 64,
+        augment: bool = True,
+        aug: YoloAugConfig = YoloAugConfig(),
+        seed: int = 0,
+    ):
+        self.paths = sorted(
+            os.path.join(img_dir, f) for f in os.listdir(img_dir)
+            if f.lower().endswith(IMG_EXTS)
+        )
+        self.label_dir = label_dir or img_dir.replace("images", "labels")
+        self.img_hw = img_hw
+        self.max_labels = max_labels
+        self.augment = augment
+        self.aug = aug
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _load_raw(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        img = np.asarray(Image.open(self.paths[i]).convert("RGB"), np.uint8)
+        stem = os.path.splitext(os.path.basename(self.paths[i]))[0]
+        labels = load_yolo_labels(os.path.join(self.label_dir, stem + ".txt"))
+        return img, labels
+
+    def _to_px(self, labels: np.ndarray, w: int, h: int) -> np.ndarray:
+        """normalized xywh -> px xyxy, keeping class column."""
+        if not len(labels):
+            return labels.reshape(0, 5)
+        c = labels[:, :1]
+        cx, cy = labels[:, 1] * w, labels[:, 2] * h
+        bw, bh = labels[:, 3] * w, labels[:, 4] * h
+        return np.concatenate(
+            [c, np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], 1)],
+            1,
+        ).astype(np.float32)
+
+    def _mosaic4(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        """4-image mosaic (reference datasets.py:648-703)."""
+        oh, ow = self.img_hw
+        sh, sw = oh, ow
+        yc = int(self.rng.uniform(sh // 2, 2 * sh - sh // 2))
+        xc = int(self.rng.uniform(sw // 2, 2 * sw - sw // 2))
+        idxs = [i] + [self.rng.randrange(len(self)) for _ in range(3)]
+        canvas = np.full((sh * 2, sw * 2, 3), 114, np.uint8)
+        all_labels = []
+        for k, idx in enumerate(idxs):
+            img, labels = self._load_raw(idx)
+            h0, w0 = img.shape[:2]
+            r = min(sh / h0, sw / w0)
+            nh, nw = int(h0 * r), int(w0 * r)
+            img = np.asarray(
+                Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
+            )
+            if k == 0:
+                x1a, y1a = max(xc - nw, 0), max(yc - nh, 0)
+                x2a, y2a = xc, yc
+            elif k == 1:
+                x1a, y1a = xc, max(yc - nh, 0)
+                x2a, y2a = min(xc + nw, sw * 2), yc
+            elif k == 2:
+                x1a, y1a = max(xc - nw, 0), yc
+                x2a, y2a = xc, min(sh * 2, yc + nh)
+            else:
+                x1a, y1a = xc, yc
+                x2a, y2a = min(xc + nw, sw * 2), min(sh * 2, yc + nh)
+            x1b, y1b = nw - (x2a - x1a), nh - (y2a - y1a)
+            if k in (1, 3):
+                x1b = 0
+            if k in (2, 3):
+                y1b = 0
+            canvas[y1a:y2a, x1a:x2a] = img[y1b : y1b + (y2a - y1a),
+                                           x1b : x1b + (x2a - x1a)]
+            lab = self._to_px(labels, nw, nh)
+            if len(lab):
+                lab[:, [1, 3]] += x1a - x1b
+                lab[:, [2, 4]] += y1a - y1b
+                all_labels.append(lab)
+        labels = (np.concatenate(all_labels)
+                  if all_labels else np.zeros((0, 5), np.float32))
+        labels[:, 1:] = labels[:, 1:].clip(0, [sw * 2, sh * 2, sw * 2, sh * 2])
+        return canvas, labels
+
+    def get(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        """One sample: (img_hw RGB uint8, (max_labels, 5) padded labels)."""
+        oh, ow = self.img_hw
+        if self.augment and self.rng.random() < self.aug.mosaic:
+            img, labels_px = self._mosaic4(i)
+            img, labels_px = random_perspective(
+                img, labels_px, self.rng, self.aug,
+                border=(-oh // 2, -ow // 2),
+            )
+        else:
+            raw, labels = self._load_raw(i)
+            img, r, (dx, dy) = letterbox_np(raw, self.img_hw)
+            labels_px = self._to_px(labels, raw.shape[1], raw.shape[0])
+            if len(labels_px):
+                labels_px[:, 1:] = labels_px[:, 1:] * r
+                labels_px[:, [1, 3]] += dx
+                labels_px[:, [2, 4]] += dy
+            if self.augment:
+                img, labels_px = random_perspective(
+                    img, labels_px, self.rng, self.aug
+                )
+        if self.augment:
+            img = augment_hsv(img, self.rng, self.aug.hsv_h,
+                              self.aug.hsv_s, self.aug.hsv_v)
+            if self.rng.random() < self.aug.flipud:
+                img = img[::-1]
+                if len(labels_px):
+                    y1 = labels_px[:, 2].copy()
+                    labels_px[:, 2] = img.shape[0] - labels_px[:, 4]
+                    labels_px[:, 4] = img.shape[0] - y1
+            if self.rng.random() < self.aug.fliplr:
+                img = img[:, ::-1]
+                if len(labels_px):
+                    x1 = labels_px[:, 1].copy()
+                    labels_px[:, 1] = img.shape[1] - labels_px[:, 3]
+                    labels_px[:, 3] = img.shape[1] - x1
+        # back to normalized padded xywh
+        out = np.zeros((self.max_labels, 5), np.float32)
+        n = min(len(labels_px), self.max_labels)
+        if n:
+            l = labels_px[:n]
+            out[:n, 0] = l[:, 0]
+            out[:n, 1] = (l[:, 1] + l[:, 3]) / 2 / img.shape[1]
+            out[:n, 2] = (l[:, 2] + l[:, 4]) / 2 / img.shape[0]
+            out[:n, 3] = (l[:, 3] - l[:, 1]) / img.shape[1]
+            out[:n, 4] = (l[:, 4] - l[:, 2]) / img.shape[0]
+        return np.ascontiguousarray(img), out
+
+    def batches(self, batch_size: int, shuffle: bool = True
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        idx = list(range(len(self)))
+        if shuffle:
+            self.rng.shuffle(idx)
+        for s in range(0, len(idx) - batch_size + 1, batch_size):
+            items = [self.get(i) for i in idx[s : s + batch_size]]
+            imgs, labels = zip(*items)
+            yield (np.stack(imgs).astype(np.float32) / 255.0,
+                   np.stack(labels))

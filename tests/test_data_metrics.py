@@ -1,0 +1,119 @@
+"""Dataset + detection-metric tests."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lpr_tpu.data.datasets import PairedImageDataset, UnpairedImageDataset
+from lpr_tpu.data.yolo_data import (
+    YoloAugConfig,
+    YoloDataset,
+    letterbox_np,
+    load_yolo_labels,
+)
+from lpr_tpu.eval.metrics import (
+    ConfusionMatrix,
+    DetectionEvaluator,
+    ap_per_class,
+    box_iou_np,
+    compute_ap,
+    match_predictions,
+)
+
+
+@pytest.fixture()
+def img_tree(tmp_path):
+    rng = np.random.RandomState(0)
+    for sub in ("hr", "lr", "trainA", "trainB", "images", "labels"):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+    for i in range(4):
+        arr = (rng.rand(40, 120, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / "hr" / f"p{i}.png")
+        Image.fromarray(arr // 2).save(tmp_path / "lr" / f"p{i}.png")
+        Image.fromarray(arr).save(tmp_path / "trainA" / f"a{i}.png")
+        Image.fromarray(arr).save(tmp_path / "trainB" / f"b{i}.png")
+        Image.fromarray(arr).save(tmp_path / "images" / f"im{i}.png")
+        with open(tmp_path / "labels" / f"im{i}.txt", "w") as f:
+            f.write("0 0.5 0.5 0.4 0.6\n1 0.25 0.25 0.1 0.2\n")
+    return tmp_path
+
+
+def test_paired_dataset(img_tree):
+    ds = PairedImageDataset(str(img_tree / "hr"), str(img_tree / "lr"))
+    assert len(ds) == 4
+    lr, hr = ds[0]
+    assert lr.shape == (32, 192, 3)
+    assert hr.shape == (32, 192, 1)  # HR grayscale, reference lpsr_dataset.py:26
+    batches = list(ds.batches(2, seed=1))
+    assert batches[0][0].shape == (2, 32, 192, 3)
+
+
+def test_unpaired_dataset(img_tree):
+    ds = UnpairedImageDataset(str(img_tree), hw=(32, 64))
+    a, b = ds[0]
+    assert a.shape == (32, 64, 3) and b.shape == (32, 64, 3)
+    assert a.min() >= -1 and a.max() <= 1
+
+
+def test_yolo_dataset_plain(img_tree):
+    ds = YoloDataset(str(img_tree / "images"), str(img_tree / "labels"),
+                     img_hw=(128, 128), max_labels=8, augment=False)
+    img, labels = ds.get(0)
+    assert img.shape == (128, 128, 3)
+    assert labels.shape == (8, 5)
+    assert (labels[:, 3] > 0).sum() == 2  # two real labels
+    # cx of first label stays at 0.5 after symmetric letterbox
+    assert abs(labels[0, 1] - 0.5) < 0.02
+
+
+def test_yolo_dataset_augmented(img_tree):
+    ds = YoloDataset(str(img_tree / "images"), str(img_tree / "labels"),
+                     img_hw=(128, 128), max_labels=16, augment=True, seed=3)
+    for i in range(4):
+        img, labels = ds.get(i)
+        assert img.shape == (128, 128, 3)
+        v = labels[labels[:, 3] > 0]
+        if len(v):
+            assert (v[:, 1:] >= 0).all() and (v[:, 1:] <= 1).all()
+    b = next(ds.batches(2))
+    assert b[0].shape == (2, 128, 128, 3) and b[1].shape == (2, 16, 5)
+
+
+def test_compute_ap_perfect():
+    r = np.asarray([0.5, 1.0])
+    p = np.asarray([1.0, 1.0])
+    assert compute_ap(r, p) > 0.99
+
+
+def test_match_predictions():
+    gt = np.asarray([[0, 0, 10, 10]], np.float32)
+    pred = np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    tp = match_predictions(pred, np.asarray([0, 0]), gt, np.asarray([0]),
+                           np.asarray([0.5]))
+    assert tp[0, 0] and not tp[1, 0]
+    # class mismatch -> no match
+    tp2 = match_predictions(pred, np.asarray([1, 1]), gt, np.asarray([0]),
+                            np.asarray([0.5]))
+    assert not tp2.any()
+
+
+def test_detection_evaluator_perfect_map():
+    ev = DetectionEvaluator()
+    gt = np.asarray([[0, 0, 10, 10], [20, 20, 40, 40]], np.float32)
+    ev.add(gt, np.asarray([0.9, 0.8]), np.asarray([0, 1]), gt,
+           np.asarray([0, 1]))
+    m = ev.compute()
+    assert m["map50"] > 0.99
+    assert m["map"] > 0.99
+
+
+def test_confusion_matrix():
+    cm = ConfusionMatrix(nc=2)
+    gt = np.asarray([[0, 0, 10, 10]], np.float32)
+    cm.process_batch(gt, np.asarray([0.9]), np.asarray([0]), gt, np.asarray([0]))
+    assert cm.matrix[0, 0] == 1
+    cm.process_batch(np.zeros((0, 4)), np.zeros(0), np.zeros(0), gt,
+                     np.asarray([1]))
+    assert cm.matrix[2, 1] == 1  # missed gt -> background row
