@@ -25,7 +25,11 @@ from lpr_tpu.models.lpsr import LPSRConfig, lpsr_apply
 from lpr_tpu.models.yolo import YoloModel
 from lpr_tpu.ops import image as im
 from lpr_tpu.ops.nms import nms_batched
-from lpr_tpu.pipeline.chars import OCR_CLASSES, detections_to_string
+from lpr_tpu.pipeline.chars import (
+    OCR_CLASSES,
+    detections_to_string,
+    detections_to_string_conf,
+)
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -162,18 +166,22 @@ class OcrEvaluator:
             det = jax.device_get(det)
             for i in range(bsz):
                 gt = gts[start + i]
-                t_raw = detections_to_string(
-                    det["boxes"][i], det["classes"][i], det["valid"][i], self.names
+                t_raw, c_raw = detections_to_string_conf(
+                    det["boxes"][i], det["classes"][i], det["scores"][i],
+                    det["valid"][i], self.names
                 )
                 j = batch_size + i
-                t_sr = detections_to_string(
-                    det["boxes"][j], det["classes"][j], det["valid"][j], self.names
+                t_sr, c_sr = detections_to_string_conf(
+                    det["boxes"][j], det["classes"][j], det["scores"][j],
+                    det["valid"][j], self.names
                 )
                 acc_r += int(t_raw == gt)
                 acc_s += int(t_sr == gt)
                 cer_r += cer(gt, t_raw)
                 cer_s += cer(gt, t_sr)
-                per_image.append({"gt": gt, "raw": t_raw, "sr": t_sr})
+                per_image.append({"gt": gt, "raw": t_raw, "sr": t_sr,
+                                  "raw_conf": c_raw, "sr_conf": c_sr,
+                                  "index": start + i})
         return EvalReport(
             n=n, acc_raw=acc_r / max(n, 1), acc_sr=acc_s / max(n, 1),
             cer_raw=cer_r / max(n, 1), cer_sr=cer_s / max(n, 1),

@@ -58,3 +58,24 @@ def detections_to_string(
     c = np.asarray(classes)[idx]
     order = reading_order(b)
     return "".join(str(names[int(c[i])]).upper() for i in order)
+
+
+def detections_to_string_conf(
+    boxes: np.ndarray,
+    classes: np.ndarray,
+    scores: np.ndarray,
+    valid: np.ndarray,
+    names: Sequence[str] = OCR_CLASSES,
+) -> Tuple[str, float]:
+    """Like :func:`detections_to_string` but also returns the mean char
+    confidence (reference evaluation/find_improvement.py average-confidence
+    gating)."""
+    idx = np.nonzero(np.asarray(valid))[0]
+    if len(idx) == 0:
+        return "", 0.0
+    b = np.asarray(boxes)[idx]
+    c = np.asarray(classes)[idx]
+    s = np.asarray(scores)[idx]
+    order = reading_order(b)
+    text = "".join(str(names[int(c[i])]).upper() for i in order)
+    return text, float(s.mean())

@@ -1,0 +1,130 @@
+"""Batched inference serving — the Triton replacement.
+
+The reference serves three ONNX models behind Triton with dynamic batching
+and per-model instance groups (``onnx_models/*/config.pbtxt``), with clients
+doing all pre/post-processing over HTTP (``inference/triton_run.py``).
+
+TPU re-design: one in-process dispatch loop around the fused recognizer —
+requests enqueue single frames; a collector thread forms batches up to
+``max_batch`` within ``max_delay_ms`` (Triton dynamic-batching semantics),
+pads to the compiled batch shape, runs the single jitted pipeline step, and
+resolves per-request futures.  No HTTP hop, no per-stage tensor round trips;
+an optional HTTP front-end lives in :mod:`lpr_tpu.serve.http` for network
+clients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    max_batch: int = 8          # compiled batch size (pad to this)
+    max_delay_ms: float = 5.0   # dynamic batching window
+    queue_size: int = 256
+
+
+@dataclasses.dataclass
+class ServerStats:
+    requests: int = 0
+    batches: int = 0
+    frames_padded: int = 0
+    total_latency_s: float = 0.0
+
+    @property
+    def mean_batch(self) -> float:
+        return self.requests / max(self.batches, 1)
+
+    @property
+    def mean_latency_ms(self) -> float:
+        return 1000.0 * self.total_latency_s / max(self.requests, 1)
+
+
+class InferenceServer:
+    """Dynamic-batching dispatch loop over a PlateRecognizer."""
+
+    def __init__(self, recognizer, cfg: ServeConfig = ServeConfig()):
+        self.rec = recognizer
+        self.cfg = cfg
+        self._q: "queue.Queue" = queue.Queue(cfg.queue_size)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = ServerStats()
+
+    # ------------------------------------------------------------------
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *a):
+        self.stop()
+
+    # ------------------------------------------------------------------
+    def submit(self, frame: np.ndarray) -> Future:
+        """frame: (H, W, 3) uint8 RGB -> Future[List[plate dict]]."""
+        fut: Future = Future()
+        self._q.put((frame, fut, time.perf_counter()))
+        return fut
+
+    def infer(self, frame: np.ndarray):
+        return self.submit(frame).result()
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> List:
+        """Block for one item, then fill the batch within the delay window."""
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = time.perf_counter() + self.cfg.max_delay_ms / 1000.0
+        while len(items) < self.cfg.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _loop(self):
+        while not self._stop.is_set():
+            items = self._collect()
+            if not items:
+                continue
+            frames = [it[0] for it in items]
+            n = len(frames)
+            pad = self.cfg.max_batch - n
+            batch = np.stack(frames + [frames[-1]] * pad)
+            try:
+                results = self.rec.recognize(batch)
+            except Exception as e:  # resolve futures with the error
+                for _, fut, _ in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            now = time.perf_counter()
+            self.stats.batches += 1
+            self.stats.frames_padded += pad
+            for (frame, fut, t0), res in zip(items, results[:n]):
+                self.stats.requests += 1
+                self.stats.total_latency_s += now - t0
+                fut.set_result(res)

@@ -1,0 +1,85 @@
+"""CLI smoke tests (CPU, small sizes, synthetic data)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from .conftest import REF_CHAR, REF_LPSR, requires_ref
+
+
+@pytest.fixture()
+def plate_folder(tmp_path):
+    sys.path.insert(0, "/root/repo")
+    from tools.synth_plates import render_plate
+
+    d = tmp_path / "plates"
+    d.mkdir()
+    for t in ("29A1234", "51B5678"):
+        Image.fromarray(render_plate(t, size=(200, 64))).save(d / f"{t}.png")
+    return str(d)
+
+
+@requires_ref
+def test_cli_sr_lpsr(plate_folder, tmp_path):
+    from lpr_tpu.cli.sr import main
+
+    out = str(tmp_path / "sr_out")
+    main(["--weights", REF_LPSR, "--input-dir", plate_folder,
+          "--output-dir", out, "--model", "lpsr", "--batch", "4"])
+    outs = os.listdir(out)
+    assert len(outs) == 2
+    img = np.asarray(Image.open(os.path.join(out, outs[0])))
+    assert img.shape == (32, 192, 3)
+
+
+@requires_ref
+def test_cli_evaluate(plate_folder, tmp_path, capsys):
+    from lpr_tpu.cli.evaluate import main
+
+    jout = str(tmp_path / "report.json")
+    main(["--eval-folder", plate_folder, "--sr-weights", REF_LPSR,
+          "--ocr-weights", REF_CHAR, "--batch", "2", "--json-out", jout])
+    cap = capsys.readouterr().out
+    assert "Evaluation Report" in cap
+    import json
+
+    rep = json.load(open(jout))
+    assert rep["n"] == 2
+
+
+@requires_ref
+@pytest.mark.slow
+def test_cli_run_on_folder(tmp_path):
+    """Full pipeline CLI over an image folder (random plate detector at
+    320^2; just exercises the flow + annotation output)."""
+    from tools.synth_plates import render_frame_with_plates
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    for i in range(2):
+        frame = render_frame_with_plates(
+            (240, 320), [("29A1234", False, (60, 80, 260, 140))]
+        )
+        Image.fromarray(frame).save(src / f"f{i}.png")
+
+    from lpr_tpu.cli import run as run_cli
+
+    out = str(tmp_path / "out")
+    args = run_cli.parse_args([
+        "--source", str(src), "--r-weights", REF_CHAR,
+        "--sr-weights", REF_LPSR, "--out", out,
+        "--imgsz-det", "320", "--batch", "2", "--d-conf", "0.01",
+    ])
+    rec = run_cli.build_recognizer(args)
+    # drive main() logic via its components (full main would rebuild)
+    frames = [np.asarray(Image.open(src / f"f{i}.png")) for i in range(2)]
+    results = rec.recognize(np.stack(frames))
+    from lpr_tpu.pipeline.annotate import annotate_frame
+
+    os.makedirs(out, exist_ok=True)
+    ann = annotate_frame(frames[0], results[0], fps=1.0)
+    Image.fromarray(ann).save(os.path.join(out, "frame.jpg"))
+    assert os.path.exists(os.path.join(out, "frame.jpg"))

@@ -1,0 +1,86 @@
+"""Serving layer tests: dynamic batching dispatch + HTTP front-end."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from lpr_tpu.serve.server import InferenceServer, ServeConfig
+
+
+class FakeRecognizer:
+    """Stands in for PlateRecognizer: records batch sizes, returns one fake
+    plate per frame."""
+
+    def __init__(self, delay=0.01):
+        self.batches = []
+        self.delay = delay
+
+    def recognize(self, frames):
+        self.batches.append(frames.shape[0])
+        time.sleep(self.delay)
+        return [
+            [{"box": [0, 0, 1, 1], "score": 0.9, "text": f"T{i}",
+              "text_sr": f"S{i}", "sr": None}]
+            for i in range(frames.shape[0])
+        ]
+
+
+def test_server_batches_requests():
+    rec = FakeRecognizer()
+    cfg = ServeConfig(max_batch=4, max_delay_ms=50.0)
+    with InferenceServer(rec, cfg) as srv:
+        frames = [np.full((8, 8, 3), i, np.uint8) for i in range(8)]
+        futs = [srv.submit(f) for f in frames]
+        results = [f.result(timeout=10) for f in futs]
+    assert all(len(r) == 1 for r in results)
+    # dynamic batching actually batched (all compiled batches are max_batch)
+    assert set(rec.batches) == {4}
+    assert srv.stats.requests == 8
+    assert srv.stats.mean_batch > 1.0
+
+
+def test_server_single_request_latency_window():
+    rec = FakeRecognizer()
+    with InferenceServer(rec, ServeConfig(max_batch=8, max_delay_ms=1.0)) as srv:
+        out = srv.infer(np.zeros((4, 4, 3), np.uint8))
+    assert out[0]["text"] == "T0"
+    assert srv.stats.frames_padded == 7  # padded to compiled batch
+
+
+def test_server_propagates_errors():
+    class Boom(FakeRecognizer):
+        def recognize(self, frames):
+            raise RuntimeError("boom")
+
+    with InferenceServer(Boom(), ServeConfig(max_batch=2, max_delay_ms=1.0)) as srv:
+        fut = srv.submit(np.zeros((4, 4, 3), np.uint8))
+        with pytest.raises(RuntimeError):
+            fut.result(timeout=10)
+
+
+def test_http_frontend():
+    from lpr_tpu.serve.http import HttpFrontend
+
+    rec = FakeRecognizer()
+    with InferenceServer(rec, ServeConfig(max_batch=2, max_delay_ms=1.0)) as srv:
+        fe = HttpFrontend(srv, port=0).start()
+        try:
+            url = f"http://127.0.0.1:{fe.port}"
+            with urllib.request.urlopen(url + "/v2/health/ready") as r:
+                assert r.status == 200
+            buf = io.BytesIO()
+            np.save(buf, np.zeros((8, 8, 3), np.uint8))
+            req = urllib.request.Request(
+                url + "/v2/models/pipeline/infer", data=buf.getvalue()
+            )
+            with urllib.request.urlopen(req) as r:
+                out = json.loads(r.read())
+            assert out[0]["text"] == "T0"
+            assert "sr" not in out[0]
+        finally:
+            fe.stop()
