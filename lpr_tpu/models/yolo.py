@@ -975,6 +975,59 @@ def char_ocr_spec() -> YoloSpec:
     return YoloSpec(36, 0.33, 0.5, 2, backbone, head)
 
 
+_SIZE_PRESETS = {
+    "n": (0.33, 0.25), "s": (0.33, 0.50), "m": (0.67, 0.75),
+    "l": (1.00, 1.00), "x": (1.33, 1.25),
+}
+
+
+def yolov5(size: str = "s", nc: int = 80, strides=(8, 16, 32)) -> YoloModel:
+    """Named model zoo: yolov5{n,s,m,l,x} (reference models/*.yaml)."""
+    depth, width = _SIZE_PRESETS[size]
+    return build_yolo(yolov5_spec(nc=nc, depth=depth, width=width),
+                      strides=strides)
+
+
+def apply_augmented(model: YoloModel, params, x):
+    """Test-time augmentation: multi-scale + lr-flip forward with prediction
+    de-scaling and tail clipping (reference Model._forward_augment,
+    yolo.py:128-140,155-181).  x: (B, H, W, 3)."""
+    import jax.image
+
+    h, w = x.shape[1], x.shape[2]
+    gs = int(max(model.strides))
+    scales = [1.0, 0.83, 0.67]
+    flips = [None, "lr", None]
+    preds = []
+    for si, fl in zip(scales, flips):
+        xi = x
+        if fl == "lr":
+            xi = xi[:, :, ::-1, :]
+        if si != 1.0:
+            nh = math.ceil(h * si / gs) * gs
+            nw = math.ceil(w * si / gs) * gs
+            xi = jax.image.resize(xi, (x.shape[0], nh, nw, x.shape[3]),
+                                  "bilinear")
+        pred, _ = model.apply(params, xi)
+        pred = pred.astype(jnp.float32)
+        scale_back = (xi.shape[2] / w) if si != 1.0 else 1.0
+        xy = pred[..., 0:2] / scale_back
+        wh = pred[..., 2:4] / scale_back
+        if fl == "lr":
+            xy = jnp.stack([w - xy[..., 0], xy[..., 1]], -1)
+        preds.append(jnp.concatenate([xy, wh, pred[..., 4:]], -1))
+    # clip augmented tails (reference _clip_augmented, yolo.py:168-177):
+    # drop the coarsest-level tail of the full-scale pass and the
+    # finest-level head of the smallest-scale pass.
+    nl = len(model.strides)
+    g = sum(4**i for i in range(nl))
+    i0 = preds[0].shape[1] // g  # one coarsest-level cell group
+    preds[0] = preds[0][:, : preds[0].shape[1] - i0]
+    ilast = preds[-1].shape[1] // g * (4 ** (nl - 1))
+    preds[-1] = preds[-1][:, ilast:]
+    return jnp.concatenate(preds, axis=1)
+
+
 def load_char_ocr(path: str, fuse: bool = True):
     """Build + load the char OCR model from the shipped char.pt."""
     from lpr_tpu.weights.torch_ckpt import YoloCheckpoint
