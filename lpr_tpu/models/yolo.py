@@ -65,13 +65,35 @@ def _init_conv(key, k, c1, c2, groups=1, bias=False, bn=True):
     return p
 
 
+# Training-mode BN context: when set (a dict), convs normalize with batch
+# statistics and record them keyed by the identity of their bn param dict;
+# YoloModel.apply(train=True) folds the EMA'd running stats back into a new
+# params pytree.  Cross-replica stats (the reference's SyncBN,
+# train.py:217-220) come free under jit sharding: the batch axis is global,
+# so jnp.mean over it lowers to a psum across the mesh.
+_BN_CTX = [None]
+_BN_MOMENTUM = 0.03  # torch YOLO BatchNorm2d momentum (torch_utils.py:51)
+_BN_EPS = 1e-3
+
+
 def _conv(p, x, *, k, stride=1, pad=None, groups=1, act="silu"):
     """Conv(+BN)+act — reference Conv (common.py:37-49)."""
     padding = k // 2 if pad is None else pad
     y = tnn.conv2d(x, p["w"], p.get("b"), stride=stride, padding=padding, groups=groups)
     if "bn" in p:
         bn = p["bn"]
-        y = tnn.batch_norm(y, bn["gamma"], bn["beta"], bn["mean"], bn["var"])
+        ctx = _BN_CTX[0]
+        if ctx is not None:
+            mean = jnp.mean(y.astype(jnp.float32), axis=(0, 1, 2))
+            var = jnp.var(y.astype(jnp.float32), axis=(0, 1, 2))
+            ctx[id(bn)] = (mean, var)
+            scale = bn["gamma"] * jax.lax.rsqrt(var + _BN_EPS)
+            y = y * scale.astype(y.dtype) + (
+                bn["beta"] - mean * scale
+            ).astype(y.dtype)
+        else:
+            y = tnn.batch_norm(y, bn["gamma"], bn["beta"], bn["mean"],
+                               bn["var"], eps=_BN_EPS)
     if act == "silu":
         y = tnn.silu(y)
     elif act == "leaky":
@@ -732,6 +754,35 @@ class Detect(Layer):
         return raws
 
 
+def _update_bn_tree(params, ctx: Dict[int, Any]):
+    """Return a copy of params where every BN dict recorded in ``ctx`` gets
+    EMA-updated running statistics (torch momentum semantics:
+    new = (1-m)*old + m*batch)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if id(node) in ctx and "mean" in node and "var" in node:
+                mean, var = ctx[id(node)]
+                m = _BN_MOMENTUM
+                return {
+                    **node,
+                    "mean": jax.lax.stop_gradient(
+                        (1 - m) * node["mean"] + m * mean
+                    ),
+                    "var": jax.lax.stop_gradient(
+                        (1 - m) * node["var"] + m * var
+                    ),
+                }
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, tuple):
+            return tuple(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
 # ---------------------------------------------------------------------------
 # spec -> plan builder (the parse_model equivalent)
 
@@ -787,19 +838,32 @@ class YoloModel:
                      prefix: str = "model") -> List[Params]:
         return [l.import_torch(sd, f"{prefix}.{l.i}", fuse) for l in self.layers]
 
-    def apply(self, params: List[Params], x, decode: bool = True):
-        saved: Dict[int, Any] = {}
-        y = x
-        for l, p in zip(self.layers, params):
-            if l.f != -1:
-                if isinstance(l.f, int):
-                    y = saved[l.f % len(self.layers)] if l.f >= 0 else y
-                else:
-                    y = [y if j == -1 else saved[j % len(self.layers)] for j in l.f]
-            y = l(p, y) if not isinstance(l, Detect) else l(p, y, decode=decode)
-            if l.i in self.save:
-                saved[l.i] = y
-        return y
+    def apply(self, params: List[Params], x, decode: bool = True,
+              train: bool = False):
+        """Forward.  ``train=True`` switches BN to batch statistics and
+        additionally returns a params pytree with EMA-updated running stats:
+        ``(out, new_params)``."""
+        ctx: Optional[Dict[int, Any]] = {} if train else None
+        _BN_CTX[0] = ctx
+        try:
+            saved: Dict[int, Any] = {}
+            y = x
+            for l, p in zip(self.layers, params):
+                if l.f != -1:
+                    if isinstance(l.f, int):
+                        y = saved[l.f % len(self.layers)] if l.f >= 0 else y
+                    else:
+                        y = [y if j == -1 else saved[j % len(self.layers)]
+                             for j in l.f]
+                y = l(p, y) if not isinstance(l, Detect) else l(p, y, decode=decode)
+                if l.i in self.save:
+                    saved[l.i] = y
+        finally:
+            _BN_CTX[0] = None
+        if not train:
+            return y
+        new_params = _update_bn_tree(params, ctx)
+        return y, new_params
 
 
 def build_yolo(spec: YoloSpec,

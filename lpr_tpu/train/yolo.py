@@ -86,15 +86,34 @@ class YoloTrainer:
         warmup_steps = max(round(cfg.warmup_epochs * steps_per_epoch), 100)
 
         def loss_fn(params, images, labels):
-            raws = model.apply(params, images.astype(cfg.compute_dtype),
-                               decode=False)
+            raws, bn_params = model.apply(
+                params, images.astype(cfg.compute_dtype), decode=False,
+                train=True,
+            )
             raws = [r.astype(jnp.float32) for r in raws]
-            return yolo_loss(raws, labels, anchors, loss_cfg)
+            total, comps = yolo_loss(raws, labels, anchors, loss_cfg)
+            return total, (comps, bn_params)
+
+        def _take_bn_stats(updated, bn_src):
+            """Overwrite running mean/var in ``updated`` from the train-pass
+            EMA tree."""
+            flat_u, treedef = jax.tree_util.tree_flatten_with_path(updated)
+            flat_b = jax.tree_util.tree_flatten_with_path(bn_src)[0]
+            out = []
+            for (path, u), (_, b) in zip(flat_u, flat_b):
+                keys = [str(getattr(p, "key", "")) for p in path]
+                if len(keys) >= 2 and keys[-2] == "bn" and keys[-1] in (
+                    "mean", "var"
+                ):
+                    out.append(b)
+                else:
+                    out.append(u)
+            return jax.tree_util.tree_unflatten(treedef, out)
 
         def train_step(params, momenta, ema, step, images, labels):
-            (total, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, images, labels
-            )
+            (total, (comps, bn_params)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, images, labels)
             epoch_f = step.astype(jnp.float32) / steps_per_epoch
             base_lr = cfg.lr0 * lr_schedule(cfg, epoch_f)
             wprog = jnp.clip(step.astype(jnp.float32) / warmup_steps, 0.0, 1.0)
@@ -117,6 +136,7 @@ class YoloTrainer:
                 new_m.append(m_new)
             params = jax.tree_util.tree_unflatten(treedef, new_p)
             momenta = jax.tree_util.tree_unflatten(treedef, new_m)
+            params = _take_bn_stats(params, bn_params)
 
             # EMA with ramped decay (torch_utils.py:299-317)
             d = cfg.ema_decay * (1.0 - jnp.exp(-(step + 1).astype(jnp.float32)

@@ -106,3 +106,18 @@ def test_early_stopping_and_fitness():
     assert not es(1, 0.4)
     assert es(2, 0.3)
     assert fitness({"map": 0.5, "map50": 0.7}) == 0.9 * 0.5 + 0.1 * 0.7
+
+
+def test_train_mode_bn_updates_running_stats():
+    """train=True must use batch stats and EMA-update running mean/var."""
+    model = build_yolo(tiny_spec(), strides=(8,))
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 3 + 1
+    (raws, new_params) = model.apply(params, x, decode=False, train=True)
+    old_mean = np.asarray(params[0]["bn"]["mean"])
+    new_mean = np.asarray(new_params[0]["bn"]["mean"])
+    assert not np.allclose(old_mean, new_mean)
+    # weights untouched
+    np.testing.assert_array_equal(
+        np.asarray(params[0]["w"]), np.asarray(new_params[0]["w"])
+    )
