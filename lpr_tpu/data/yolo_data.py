@@ -163,6 +163,28 @@ def random_perspective(
     return warped, labels_px
 
 
+def mixup(img1, labels1, img2, labels2, rng: random.Random):
+    """Image mixup with beta(32, 32) blend (reference augmentations.py:231-238)."""
+    r = np.float32(rng.betavariate(32.0, 32.0))
+    img = (img1.astype(np.float32) * r + img2.astype(np.float32) * (1 - r))
+    return img.astype(img1.dtype), np.concatenate([labels1, labels2], 0)
+
+
+def cutout(img, labels_px, rng: random.Random, p: float = 0.5):
+    """Random occluding patches (reference augmentations.py:204-228)."""
+    if rng.random() >= p:
+        return img, labels_px
+    h, w = img.shape[:2]
+    scales = [0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8
+    img = img.copy()
+    for s in scales:
+        mh, mw = int(h * s * rng.random()), int(w * s * rng.random())
+        x = rng.randint(0, max(w - mw, 1))
+        y = rng.randint(0, max(h - mh, 1))
+        img[y : y + mh, x : x + mw] = [rng.randint(64, 191) for _ in range(3)]
+    return img, labels_px
+
+
 class YoloDataset:
     """images dir + labels dir (same stem, .txt), mosaic + aug pipeline."""
 

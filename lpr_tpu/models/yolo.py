@@ -652,6 +652,32 @@ class C3Ghost(C3):
 
 
 @dataclasses.dataclass
+class Classify(Layer):
+    """Classification head: GAP conv + flatten (common.py:666-675)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+
+    def init(self, key):
+        return _init_conv(key, self.k, self.c1, self.c2, bias=True, bn=False)
+
+    def import_torch(self, sd, prefix, fuse=True):
+        return {"w": jnp.asarray(cvt.conv_w(sd[f"{prefix}.conv.weight"])),
+                "b": jnp.asarray(cvt.vec(sd[f"{prefix}.conv.bias"]))}
+
+    def __call__(self, p, x):
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate([jnp.mean(xi, (1, 2)) for xi in x], -1)
+        else:
+            x = jnp.mean(x, (1, 2))
+        y = tnn.conv2d(x[:, None, None, :], p["w"], p.get("b"),
+                       stride=self.s, padding=0)
+        return y.reshape(y.shape[0], -1)
+
+
+@dataclasses.dataclass
 class Upsample(Layer):
     scale: int = 2
     mode: str = "nearest"
@@ -806,7 +832,7 @@ _MODULE_NAMES = {
     "C3Ghost": C3Ghost, "GhostConv": GhostConv, "GhostBottleneck": GhostBottleneck,
     "SPP": SPP, "SPPF": SPPF, "Concat": Concat, "Contract": Contract,
     "Expand": Expand, "nn.Upsample": Upsample, "Upsample": Upsample,
-    "Detect": Detect,
+    "Detect": Detect, "Classify": Classify,
 }
 
 
@@ -927,6 +953,9 @@ def build_yolo(spec: YoloSpec,
             g = args[0] if args else 2
             c2 = c1 * g * g if cls is Contract else c1 // (g * g)
             lay = cls(g)
+        elif cls is Classify:
+            c2 = args[0]
+            lay = Classify(c1, c2)
         elif cls is Detect:
             detect_from = list(f)
             chs = tuple(ch[j] for j in f)

@@ -175,6 +175,27 @@ def tanh(x: Array) -> Array:
     return jnp.tanh(x)
 
 
+def mish(x: Array) -> Array:
+    """x * tanh(softplus(x)) (reference utils/activations.py Mish)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def hardswish(x: Array) -> Array:
+    return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+def frelu_like(x: Array) -> Array:  # simple funnel-act stand-in
+    return jnp.maximum(x, 0)
+
+
+ACTIVATIONS = {
+    "silu": silu, "relu": relu, "leaky": leaky_relu, "mish": mish,
+    "hardswish": hardswish, "sigmoid": sigmoid, "tanh": tanh,
+    "none": lambda x: x,
+}
+"""Activation zoo (reference yolov5/utils/activations.py)."""
+
+
 def max_pool2d(x: Array, k: int, stride: int = 1, padding: Optional[int] = None):
     """Max pool with torch semantics (symmetric explicit pad, -inf fill)."""
     if padding is None:

@@ -125,3 +125,38 @@ def test_nms_class_filter():
     n = int(out["count"][0])
     assert n == 1
     assert int(out["classes"][0, 0]) == 1
+
+
+@requires_ref
+def test_detector_wrapper_reads_synthetic_plate():
+    """Detector convenience API end-to-end: real char model reads a plate."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.synth_plates import render_plate
+
+    from lpr_tpu.models.detector import load_char_detector
+    from lpr_tpu.pipeline.chars import reading_order
+
+    det = load_char_detector(REF_CHAR, conf_thres=0.5,
+                             dtype=jnp.float32)
+    frame = render_plate("29A1234", size=(200, 64))
+    res = det.detect(frame)
+    assert len(res) >= 5
+    order = reading_order(res.boxes)
+    text = "".join(res.names[int(res.classes[i])].upper() for i in order)
+    assert text == "29A1234"
+    rows = res.pandas()
+    assert {"xmin", "confidence", "name"} <= set(rows[0])
+    lst = res.tolist()
+    assert len(lst[0]) == 3
+
+
+def test_classify_head():
+    from lpr_tpu.models.yolo import Classify
+
+    c = Classify(16, 5)
+    c.i, c.f = 0, -1
+    p = c.init(jax.random.PRNGKey(0))
+    y = c(p, jnp.zeros((2, 8, 8, 16)))
+    assert y.shape == (2, 5)
