@@ -64,6 +64,10 @@ class PipelineConfig:
     long_aspect: float = 1.5                 # run.py:22
     deskew: bool = True
     dtype: Any = jnp.bfloat16
+    # MXU interp-matmul crop geometry (6x faster than gathers on TPU);
+    # False falls back to the gather-based reference-exact sampler.
+    fast_geometry: bool = True
+    tile_hw: Tuple[int, int] = (64, 256)
 
 
 def _aspect_canvas(img: jax.Array, canvas_hw: Tuple[int, int],
@@ -120,30 +124,39 @@ class PlateRecognizer:
         cfg = self.cfg
         lpsr_cfg = self.lpsr_cfg
 
+        from lpr_tpu.ops.resample import crop_rotated_fast, plate_tile
+
         def per_plate(frame, box, angle_on):
             """Device-side geometry for one plate of one frame."""
-            # skew estimate on a coarse gray crop
-            coarse = im.crop_rotated(frame, box, jnp.float32(0.0), (32, 96))
-            gray = im.rgb_to_gray(coarse)
             w = box[2] - box[0]
             h = jnp.maximum(box[3] - box[1], 1.0)
+            sh, sw = cfg.sr_hw
+            if cfg.fast_geometry:
+                tile, geom = plate_tile(frame, box, cfg.tile_hw)
+
+                def crop(angle, out_hw, **kw):
+                    return crop_rotated_fast(frame, box, angle, out_hw,
+                                             tile=tile, tile_geom=geom, **kw)
+            else:
+                def crop(angle, out_hw, **kw):
+                    return im.crop_rotated(frame, box, angle, out_hw, **kw)
+
+            # skew estimate on a coarse gray crop
+            coarse = crop(jnp.float32(0.0), (32, 96))
+            gray = im.rgb_to_gray(coarse.astype(jnp.float32))
             aspect = (w / 96.0) / (h / 32.0)
             angle = im.estimate_skew_angle(
-                gray, max_abs_deg=30.0, pixel_aspect=aspect
+                gray, max_abs_deg=15.0, pixel_aspect=aspect
             ) * angle_on
             is_long = (w / h) > cfg.long_aspect
-            sh, sw = cfg.sr_hw
             # 1-row long image for SR input
-            full = im.crop_rotated(frame, box, angle, (sh, sw))
-            top = im.crop_rotated(frame, box, angle, (sh, sw // 2),
-                                  v_range=(-0.5, 0.0))
-            bot = im.crop_rotated(frame, box, angle, (sh, sw // 2),
-                                  v_range=(0.0, 0.5))
+            full = crop(angle, (sh, sw))
+            top = crop(angle, (sh, sw // 2), v_range=(-0.5, 0.0))
+            bot = crop(angle, (sh, sw // 2), v_range=(0.0, 0.5))
             two_row = jnp.concatenate([top, bot], axis=1)
             long_img = jnp.where(is_long, full, two_row)
             # OCR canvas from the original frame (straightened, aspect-pad)
-            ocr_orig = im.crop_rotated(frame, box, angle, cfg.ocr_hw,
-                                       square=True, mask_outside=True)
+            ocr_orig = crop(angle, cfg.ocr_hw, square=True, mask_outside=True)
             return long_img, ocr_orig, is_long
 
         def sr_to_ocr_canvas(sr_long, is_long):
