@@ -1,0 +1,110 @@
+"""YOLO detector training CLI (reference ``yolov5/train.py`` shell).
+
+Dataset layout: ``--img-dir`` with images, ``--label-dir`` with YOLO-format
+.txt labels (same stems).  Supports the two production architectures
+(``--arch yolov5n/s/m/l/x`` or ``--arch char_ocr``) and data parallelism
+over all local devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a YOLO detector (TPU)")
+    p.add_argument("--img-dir", required=True)
+    p.add_argument("--label-dir", default=None)
+    p.add_argument("--val-img-dir", default=None)
+    p.add_argument("--val-label-dir", default=None)
+    p.add_argument("--arch", default="yolov5s")
+    p.add_argument("--nc", type=int, required=True)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--lr0", type=float, default=0.01)
+    p.add_argument("--max-labels", type=int, default=64)
+    p.add_argument("--ckpt-dir", default="checkpoints/yolo")
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--autoanchor", action="store_true",
+                   help="evolve anchors from the train labels first")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import numpy as np
+
+    from lpr_tpu.data.yolo_data import YoloDataset
+    from lpr_tpu.models.yolo import build_yolo, char_ocr_spec, yolov5_spec, _SIZE_PRESETS
+    from lpr_tpu.parallel.mesh import make_mesh
+    from lpr_tpu.train.yolo import YoloTrainConfig, YoloTrainer, fit_yolo
+    from lpr_tpu.utils.loggers import Loggers
+
+    hw = (args.imgsz, args.imgsz)
+    train_ds = YoloDataset(args.img_dir, args.label_dir, hw,
+                           max_labels=args.max_labels,
+                           augment=not args.no_augment)
+    val_ds = YoloDataset(args.val_img_dir or args.img_dir,
+                         args.val_label_dir or args.label_dir, hw,
+                         max_labels=args.max_labels, augment=False)
+    print(f"train {len(train_ds)} images, val {len(val_ds)} images")
+
+    ckpt_anchors = None
+    if args.arch == "char_ocr":
+        spec = char_ocr_spec()
+        spec = type(spec)(**{**spec.__dict__, "nc": args.nc})
+        strides = (8,)
+        ckpt_anchors = np.ones((1, 2, 2), np.float32) * 2
+    else:
+        size = args.arch.replace("yolov5", "") or "s"
+        depth, width = _SIZE_PRESETS[size]
+        spec = yolov5_spec(nc=args.nc, depth=depth, width=width)
+        strides = (8, 16, 32)
+
+    if args.autoanchor:
+        from lpr_tpu.utils.autoanchor import kmeans_anchors
+
+        whs = []
+        for i in range(min(len(train_ds), 500)):
+            _, labels = train_ds.get(i)
+            v = labels[labels[:, 3] > 0]
+            whs.append(v[:, 3:5] * args.imgsz)
+        wh = np.concatenate(whs) if whs else np.zeros((0, 2))
+        if len(wh) >= 8:
+            n_anchors = 2 if args.arch == "char_ocr" else 9
+            evolved = kmeans_anchors(wh, n=n_anchors)
+            nl = len(strides)
+            per = n_anchors // nl
+            ckpt_anchors = (evolved.reshape(nl, per, 2)
+                            / np.asarray(strides, np.float32)[:, None, None])
+            print("evolved anchors (grid units):", ckpt_anchors.tolist())
+
+    model = build_yolo(spec, ckpt_anchors=ckpt_anchors, strides=strides)
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    mesh = make_mesh() if args.data_parallel else None
+    trainer = YoloTrainer(
+        model, YoloTrainConfig(lr0=args.lr0, epochs=args.epochs),
+        steps_per_epoch=steps_per_epoch, mesh=mesh,
+    )
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    loggers = Loggers(args.ckpt_dir)
+    step_counter = [0]
+
+    def log(msg):
+        print(msg)
+
+    fit_yolo(
+        trainer,
+        lambda: train_ds.batches(args.batch_size),
+        lambda: val_ds.batches(args.batch_size, shuffle=False),
+        epochs=args.epochs, ckpt_dir=args.ckpt_dir,
+        patience=args.patience, logger=log,
+    )
+
+
+if __name__ == "__main__":
+    main()

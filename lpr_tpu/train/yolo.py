@@ -184,6 +184,93 @@ class YoloTrainer:
         )
 
 
+def validate_map(
+    model: YoloModel, params, batches, conf_thres: float = 0.001,
+    iou_thres: float = 0.6, max_det: int = 300, dtype=jnp.float32,
+):
+    """Run detection + NMS over a val set and compute mAP (the reference's
+    missing val.py, reconstructed from its train-loop usage + metrics)."""
+    import functools
+
+    from lpr_tpu.eval.metrics import DetectionEvaluator
+    from lpr_tpu.ops.nms import nms_batched
+
+    @jax.jit
+    def step(params, images):
+        pred, _ = model.apply(params, images.astype(dtype))
+        return nms_batched(pred, conf_thres, iou_thres, max_det=max_det,
+                           pre_topk=min(512, pred.shape[1]),
+                           multi_label=True, agnostic=False)
+
+    ev = DetectionEvaluator()
+    for images, labels in batches:
+        h, w = images.shape[1:3]
+        det = jax.device_get(step(params, jnp.asarray(images)))
+        for i in range(images.shape[0]):
+            n = int(det["count"][i])
+            lab = np.asarray(labels[i])
+            lab = lab[lab[:, 3] > 0]
+            gt_xyxy = np.stack([
+                (lab[:, 1] - lab[:, 3] / 2) * w, (lab[:, 2] - lab[:, 4] / 2) * h,
+                (lab[:, 1] + lab[:, 3] / 2) * w, (lab[:, 2] + lab[:, 4] / 2) * h,
+            ], 1) if len(lab) else np.zeros((0, 4), np.float32)
+            ev.add(det["boxes"][i][:n], det["scores"][i][:n],
+                   det["classes"][i][:n], gt_xyxy, lab[:, 0].astype(int))
+    return ev.compute()
+
+
+def fit_yolo(
+    trainer: "YoloTrainer",
+    train_batches_fn,
+    val_batches_fn,
+    epochs: int,
+    ckpt_dir: Optional[str] = None,
+    patience: int = 100,
+    logger=print,
+    callbacks=None,
+):
+    """Full training shell (reference train.py:265-420): per-epoch train,
+    EMA-weighted val mAP, fitness-based best checkpointing, early stop."""
+    from lpr_tpu.utils.guards import StepGuard
+    from lpr_tpu.weights.checkpoint import save_params
+
+    state = trainer.init()
+    stopper = EarlyStopping(patience=patience)
+    guard = StepGuard()
+    best = 0.0
+    if callbacks:
+        callbacks.run("on_train_start")
+    for epoch in range(epochs):
+        losses = []
+        for images, labels in train_batches_fn():
+            state, total, comps = trainer.step(
+                state, jnp.asarray(images), jnp.asarray(labels)
+            )
+            loss = float(total)
+            if guard.check(loss):
+                losses.append(loss)
+        metrics = validate_map(trainer.model, state["ema"], val_batches_fn())
+        fit = fitness(metrics)
+        logger(
+            f"epoch {epoch}: loss {np.mean(losses) if losses else np.nan:.4f} "
+            f"mAP50 {metrics['map50']:.4f} mAP {metrics['map']:.4f} "
+            f"fitness {fit:.4f}"
+        )
+        if callbacks:
+            callbacks.run("on_fit_epoch_end", epoch, metrics)
+        if ckpt_dir:
+            save_params(f"{ckpt_dir}/last.npz", state["ema"])
+            if fit >= best:
+                best = fit
+                save_params(f"{ckpt_dir}/best.npz", state["ema"])
+        if stopper(epoch, fit):
+            logger(f"early stopping at epoch {epoch} (best {best:.4f})")
+            break
+    if callbacks:
+        callbacks.run("on_train_end")
+    return state
+
+
 @dataclasses.dataclass
 class EarlyStopping:
     """Stop after ``patience`` epochs without fitness improvement

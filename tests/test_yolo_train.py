@@ -121,3 +121,39 @@ def test_train_mode_bn_updates_running_stats():
     np.testing.assert_array_equal(
         np.asarray(params[0]["w"]), np.asarray(new_params[0]["w"])
     )
+
+
+def test_fit_yolo_overfit_reaches_map(tmp_path):
+    """Tiny fit loop on one synthetic detection task: mAP must become
+    non-trivial and checkpoints must be written."""
+    from lpr_tpu.train.yolo import YoloTrainConfig, YoloTrainer, fit_yolo
+
+    model = build_yolo(tiny_spec(nc=2), strides=(8,))
+    rng = np.random.RandomState(0)
+    imgs = np.zeros((4, 64, 64, 3), np.float32)
+    labels = np.zeros((4, 4, 5), np.float32)
+    for i in range(4):
+        x = 8 + 8 * i
+        imgs[i, 24:40, x : x + 16] = 1.0
+        labels[i, 0] = [1.0, (x + 8) / 64, 0.5, 0.25, 0.25]
+    imgs += rng.rand(*imgs.shape).astype(np.float32) * 0.05
+
+    trainer = YoloTrainer(
+        model, YoloTrainConfig(lr0=0.02, warmup_epochs=0.0, epochs=100000),
+        steps_per_epoch=1,
+    )
+    state = fit_yolo(
+        trainer,
+        lambda: [(imgs, labels)] * 60,
+        lambda: [(imgs, labels)],
+        epochs=5,
+        ckpt_dir=str(tmp_path),
+        logger=lambda m: None,
+    )
+    from lpr_tpu.train.yolo import validate_map
+
+    metrics = validate_map(model, state["ema"], [(imgs, labels)],
+                           conf_thres=0.001)
+    assert metrics["map50"] > 0.3
+    assert (tmp_path / "last.npz").exists()
+    assert (tmp_path / "best.npz").exists()
