@@ -164,7 +164,25 @@ class Conv(Layer):
     def import_torch(self, sd, prefix, fuse=True):
         return _import_conv(sd, prefix, fuse)
 
+    def _is_s2d_stem(self):
+        """The v6.0 stem Conv(6, s=2, p=2) is exactly equivalent to
+        space-to-depth(2) + Conv(3, s=1, p=1) with rearranged weights:
+        out = sum_{2a+i, 2b+j, c} z[y+a-1, x+b-1, (c,i,j)] W[2a+i, 2b+j, c].
+        The transformed conv sees 4x the input channels at 1/4 the spatial
+        positions — far better MXU utilization for the 3-channel stem."""
+        return self.k == 6 and self.s == 2 and self.pad == 2 and self.g == 1
+
     def __call__(self, p, x):
+        if self._is_s2d_stem():
+            w = p["w"]  # (6, 6, c1, c2)
+            c1, c2 = w.shape[2], w.shape[3]
+            # W'[a, b, c*4 + i*2 + j] = W[2a+i, 2b+j, c]
+            w = w.reshape(3, 2, 3, 2, c1, c2)        # a i b j c o
+            w = w.transpose(0, 2, 4, 1, 3, 5)        # a b c i j o
+            w = w.reshape(3, 3, c1 * 4, c2)
+            z = tnn.pixel_unshuffle(x, 2)
+            p2 = dict(p, w=w)
+            return _conv(p2, z, k=3, stride=1, pad=1, act=self.act)
         return _conv(p, x, k=self.k, stride=self.s, pad=self.pad,
                      groups=self.g, act=self.act)
 

@@ -178,7 +178,7 @@ class PlateRecognizer:
             lb, gain, pad = im.letterbox(x, cfg.det_hw, fill=0.0)
             pred, _ = self.plate_model.apply(params["plate"], lb.astype(cfg.dtype))
             det = nms_batched(
-                pred, cfg.det_conf, cfg.iou, max_det=16, pre_topk=128,
+                pred, cfg.det_conf, cfg.iou, max_det=16, pre_topk=64,
                 multi_label=True, agnostic=True, class_mask=self.plate_mask,
             )
             # letterbox -> original frame coords
@@ -213,7 +213,7 @@ class PlateRecognizer:
             cpred, _ = self.char_model.apply(params["char"], ocr_in.astype(cfg.dtype))
             cdet = nms_batched(
                 cpred, cfg.ocr_conf, cfg.iou, max_det=cfg.max_chars,
-                pre_topk=256, multi_label=True, agnostic=True,
+                pre_topk=128, multi_label=True, agnostic=True,
             )
             return {
                 "plate_boxes": sel_boxes,
