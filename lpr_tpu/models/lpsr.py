@@ -327,6 +327,18 @@ def lpsr_from_torch(sd: Dict[str, np.ndarray], cfg: LPSRConfig = LPSRConfig()) -
 
 
 def load_lpsr(path: str, cfg: LPSRConfig = LPSRConfig()) -> Params:
+    """Load LPSR weights from a torch .pth checkpoint, an exported .onnx
+    graph (initializer names are torch names), or a native .npz."""
+    if path.endswith(".onnx"):
+        from lpr_tpu.weights.onnx_import import load_onnx
+
+        return lpsr_from_torch(load_onnx(path)["initializers"], cfg)
+    if path.endswith(".npz"):
+        import jax
+
+        from lpr_tpu.weights.checkpoint import load_params
+
+        return load_params(path, lpsr_init(jax.random.PRNGKey(0), cfg))
     from lpr_tpu.weights.torch_ckpt import load_state_dict
 
     return lpsr_from_torch(load_state_dict(path), cfg)
