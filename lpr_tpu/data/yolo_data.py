@@ -47,6 +47,7 @@ class YoloAugConfig:
     flipud: float = 0.0
     fliplr: float = 0.5
     mosaic: float = 1.0
+    use_mosaic9: bool = False
 
 
 def load_yolo_labels(path: str) -> np.ndarray:
@@ -276,15 +277,64 @@ class YoloDataset:
         labels[:, 1:] = labels[:, 1:].clip(0, [sw * 2, sh * 2, sw * 2, sh * 2])
         return canvas, labels
 
+    def _mosaic9(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        """9-image mosaic (reference datasets.py:704-778): 3x3 ring around a
+        center image on a 3s x 3s canvas, then a random s x s window."""
+        oh, ow = self.img_hw
+        sh, sw = oh, ow
+        idxs = [i] + [self.rng.randrange(len(self)) for _ in range(8)]
+        canvas = np.full((sh * 3, sw * 3, 3), 114, np.uint8)
+        all_labels = []
+        # grid placement: center + 8 neighbors
+        cells = [(1, 1), (0, 0), (0, 1), (0, 2), (1, 0), (1, 2),
+                 (2, 0), (2, 1), (2, 2)]
+        for (gy, gx), idx in zip(cells, idxs):
+            img, labels = self._load_raw(idx)
+            h0, w0 = img.shape[:2]
+            r = min(sh / h0, sw / w0)
+            nh, nw = int(h0 * r), int(w0 * r)
+            img = np.asarray(
+                Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
+            )
+            y0, x0 = gy * sh, gx * sw
+            canvas[y0 : y0 + nh, x0 : x0 + nw] = img
+            lab = self._to_px(labels, nw, nh)
+            if len(lab):
+                lab[:, [1, 3]] += x0
+                lab[:, [2, 4]] += y0
+                all_labels.append(lab)
+        labels = (np.concatenate(all_labels)
+                  if all_labels else np.zeros((0, 5), np.float32))
+        # random s x s window biased toward the center
+        yc = int(self.rng.uniform(sh // 2, 2 * sh - sh // 2)) + sh // 2
+        xc = int(self.rng.uniform(sw // 2, 2 * sw - sw // 2)) + sw // 2
+        yc = min(max(yc, 0), 2 * sh)
+        xc = min(max(xc, 0), 2 * sw)
+        win = canvas[yc : yc + sh, xc : xc + sw]
+        if len(labels):
+            labels[:, [1, 3]] -= xc
+            labels[:, [2, 4]] -= yc
+            labels[:, 1:] = labels[:, 1:].clip(0, [sw, sh, sw, sh])
+            keep = ((labels[:, 3] - labels[:, 1] > 2)
+                    & (labels[:, 4] - labels[:, 2] > 2))
+            labels = labels[keep]
+        return np.ascontiguousarray(win), labels
+
     def get(self, i) -> Tuple[np.ndarray, np.ndarray]:
         """One sample: (img_hw RGB uint8, (max_labels, 5) padded labels)."""
         oh, ow = self.img_hw
         if self.augment and self.rng.random() < self.aug.mosaic:
-            img, labels_px = self._mosaic4(i)
-            img, labels_px = random_perspective(
-                img, labels_px, self.rng, self.aug,
-                border=(-oh // 2, -ow // 2),
-            )
+            if self.aug.use_mosaic9:
+                img, labels_px = self._mosaic9(i)
+                img, labels_px = random_perspective(
+                    img, labels_px, self.rng, self.aug
+                )
+            else:
+                img, labels_px = self._mosaic4(i)
+                img, labels_px = random_perspective(
+                    img, labels_px, self.rng, self.aug,
+                    border=(-oh // 2, -ow // 2),
+                )
         else:
             raw, labels = self._load_raw(i)
             img, r, (dx, dy) = letterbox_np(raw, self.img_hw)

@@ -117,3 +117,29 @@ def test_confusion_matrix():
     cm.process_batch(np.zeros((0, 4)), np.zeros(0), np.zeros(0), gt,
                      np.asarray([1]))
     assert cm.matrix[2, 1] == 1  # missed gt -> background row
+
+
+def test_mosaic9_and_visualize(img_tree, tmp_path):
+    from lpr_tpu.data.yolo_data import YoloAugConfig, YoloDataset
+
+    ds = YoloDataset(str(img_tree / "images"), str(img_tree / "labels"),
+                     img_hw=(96, 96), max_labels=32, augment=True,
+                     aug=YoloAugConfig(use_mosaic9=True), seed=1)
+    img, labels = ds.get(0)
+    assert img.shape == (96, 96, 3)
+    v = labels[labels[:, 3] > 0]
+    if len(v):
+        assert (v[:, 1:] >= 0).all() and (v[:, 1:] <= 1).all()
+
+    from lpr_tpu.train.visualize import (
+        save_cyclegan_epoch_grid,
+        save_lpsr_epoch_grid,
+    )
+
+    lr = [np.random.rand(32, 192, 3)] * 2
+    sr = [np.random.rand(32, 192, 1)] * 2
+    save_lpsr_epoch_grid(str(tmp_path / "g.png"), lr, sr, sr)
+    assert (tmp_path / "g.png").exists()
+    a = np.random.rand(1, 32, 32, 3) * 2 - 1
+    save_cyclegan_epoch_grid(str(tmp_path / "cg.png"), a, a, a, a, a, a)
+    assert (tmp_path / "cg.png").exists()
