@@ -260,7 +260,7 @@ def lpsr_pallas(params, x: jax.Array, cfg: LPSRConfig = LPSRConfig(),
     # feeding the MXU; one image would serialize ~70 tiny dots per program.
     # bf16 activations keep the block inside VMEM.
     x = x.astype(jnp.bfloat16)
-    blk = 4
+    blk = 2
     while B % blk:
         blk //= 2
     pb = B // blk

@@ -103,12 +103,16 @@ class PlateRecognizer:
         cfg: PipelineConfig = PipelineConfig(),
         plate_class_ids: Sequence[int] = PLATE_CLASS_IDS,
         char_names: Optional[Sequence[str]] = None,
+        mesh=None,
     ):
+        """``mesh``: optional 1-D jax.sharding.Mesh — shards the frame batch
+        over the 'data' axis (multi-chip serving; params replicated)."""
         self.plate_model = plate_model
         self.char_model = char_model
         self.cfg = cfg
         self.lpsr_cfg = lpsr_cfg
         self.char_names = char_names
+        self.mesh = mesh
         mask = np.zeros((plate_model.nc,), bool)
         mask[list(plate_class_ids)] = True
         self.plate_mask = jnp.asarray(mask)
@@ -117,7 +121,17 @@ class PlateRecognizer:
             "char": char_params,
             "lpsr": lpsr_params,
         }
-        self._step = jax.jit(self._build_step())
+        if mesh is not None:
+            from lpr_tpu.parallel.mesh import batch_sharding, replicate, replicated
+
+            self.params = replicate(self.params, mesh)
+            bs = batch_sharding(mesh)
+            self._step = jax.jit(
+                self._build_step(),
+                in_shardings=(replicated(mesh), bs),
+            )
+        else:
+            self._step = jax.jit(self._build_step())
 
     # ------------------------------------------------------------------
     def _build_step(self):

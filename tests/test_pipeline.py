@@ -111,3 +111,32 @@ def test_pipeline_smoke(tiny_recognizer):
         for p in plates:
             assert set(p) >= {"box", "score", "text", "text_sr", "is_long"}
             assert isinstance(p["text"], str)
+
+
+def test_pipeline_dp_mesh_matches_single():
+    """Batch-sharded pipeline over the 8-device CPU mesh must match the
+    unsharded pipeline exactly."""
+    from lpr_tpu.parallel.mesh import make_mesh
+
+    plate = build_yolo(yolov5_spec(nc=11, depth=0.33, width=0.25),
+                       strides=(8, 16, 32))
+    char = build_yolo(yolov5_spec(nc=36, depth=0.33, width=0.25),
+                      strides=(8, 16, 32))
+    key = jax.random.PRNGKey(0)
+    cfg = PipelineConfig(det_hw=(192, 192), det_conf=0.001, ocr_conf=0.9,
+                         dtype=jnp.float32)
+    lpsr_cfg = LPSRConfig(num_features=8, growth_rate=4, num_blocks=2,
+                          num_layers=2)
+    args = (plate, plate.init(key), char, char.init(key),
+            lpsr_init(key, lpsr_cfg), lpsr_cfg, cfg)
+    rec1 = PlateRecognizer(*args)
+    rec2 = PlateRecognizer(*args, mesh=make_mesh(8))
+    frames = (np.random.RandomState(0).rand(8, 144, 192, 3) * 255
+              ).astype(np.uint8)
+    o1 = jax.device_get(rec1._step(rec1.params, jnp.asarray(frames)))
+    o2 = jax.device_get(rec2._step(rec2.params, jnp.asarray(frames)))
+    np.testing.assert_allclose(o1["plate_boxes"], o2["plate_boxes"],
+                               atol=1e-3)
+    np.testing.assert_array_equal(o1["plate_valid"], o2["plate_valid"])
+    np.testing.assert_allclose(np.asarray(o1["sr"]), np.asarray(o2["sr"]),
+                               atol=1e-4)
