@@ -70,3 +70,29 @@ def test_lpsr_batched_vmap_consistency():
     np.testing.assert_allclose(
         np.asarray(y_batch), np.asarray(y_single), atol=1e-5, rtol=1e-5
     )
+
+
+def test_lpsr_variants():
+    """Experimental architecture variants (reference experiments/ver01-03)."""
+    from lpr_tpu.models.lpsr_variants import (
+        VariantConfig,
+        ver01_apply,
+        ver01_init,
+        ver02_apply,
+        ver02_init,
+        ver03_apply,
+        ver03_init,
+    )
+
+    cfg = VariantConfig(num_features=8, growth_rate=4, num_blocks=2,
+                        num_layers=2, scale_factor=2)
+    x = jnp.zeros((1, 16, 48, 3))
+    for init, apply in ((ver01_init, ver01_apply), (ver02_init, ver02_apply),
+                        (ver03_init, ver03_apply)):
+        p = init(jax.random.PRNGKey(0), cfg)
+        y = jax.jit(apply)(p, x)
+        assert y.shape == (1, 32, 96, 3)  # 2x upscale
+    # ver02/03 outputs are sigmoid-bounded
+    p = ver03_init(jax.random.PRNGKey(1), cfg)
+    y = jax.jit(ver03_apply)(p, jnp.ones((1, 16, 48, 3)))
+    assert bool(jnp.all((y > 0) & (y < 1)))
