@@ -16,7 +16,7 @@ box size gate (general.py:694-696), conf = obj * cls.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ tested against it.
 from __future__ import annotations
 
 import functools
-from typing import Any, List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

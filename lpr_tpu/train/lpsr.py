@@ -20,13 +20,7 @@ import numpy as np
 import optax
 
 from lpr_tpu.models.lpsr import LPSRConfig, lpsr_apply, lpsr_init
-from lpr_tpu.parallel.mesh import (
-    DATA_AXIS,
-    batch_sharding,
-    make_mesh,
-    replicate,
-    shard_batch,
-)
+from lpr_tpu.parallel.mesh import batch_sharding, replicate, shard_batch
 
 
 @dataclasses.dataclass(frozen=True)

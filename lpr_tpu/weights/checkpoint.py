@@ -9,7 +9,7 @@ PyTorch-import shim for the shipped reference weights lives in
 from __future__ import annotations
 
 import json
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import numpy as np
