@@ -31,6 +31,15 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     frame_hw = (720, 1280)
+    # rect inference (reference letterbox auto=True, augmentations.py:91-121:
+    # "minimum rectangle"): detector height snaps to the frame aspect at a
+    # stride-32 multiple instead of padding to a full square.
+    rect = os.environ.get("BENCH_RECT", "1") == "1"
+    det_w = 1280
+    if rect:
+        det_h = int(np.ceil(frame_hw[0] * det_w / frame_hw[1] / 32) * 32)
+    else:
+        det_h = det_w
 
     key = jax.random.PRNGKey(0)
     plate = build_yolo(yolov5_spec(nc=11), strides=(8, 16, 32))
@@ -53,7 +62,7 @@ def main():
         lpsr_params = lpsr_init(key, lpsr_cfg)
         char_names = None
 
-    cfg = PipelineConfig(det_hw=(1280, 1280), dtype=jnp.bfloat16)
+    cfg = PipelineConfig(det_hw=(det_h, det_w), dtype=jnp.bfloat16)
     rec = PlateRecognizer(plate, plate_params, char, char_params,
                           lpsr_params, lpsr_cfg, cfg, char_names=char_names)
 
