@@ -172,6 +172,25 @@ class Conv(Layer):
         positions — far better MXU utilization for the 3-channel stem."""
         return self.k == 6 and self.s == 2 and self.pad == 2 and self.g == 1
 
+    def _is_s2d_down(self):
+        """Small-channel Conv(3, s=2, p=1) downsamplers likewise transform to
+        space-to-depth(2) + Conv(2, s=1, pad=(1,0)): source taps dh in
+        {0,1,2} map to (block a, parity i) = (0,1), (1,0), (1,1); the (0,0)
+        tap has zero weight.  Worth it only while Cin is lane-starved."""
+        return (self.k == 3 and self.s == 2 and self.pad in (None, 1)
+                and self.g == 1 and self.c1 <= 64)
+
+    @staticmethod
+    def _s2d_down_weights(w):
+        """(3,3,Cin,Cout) -> (2,2,4*Cin,Cout) per the tap mapping above."""
+        kh, kw, c1, c2 = w.shape
+        w2 = jnp.zeros((2, 2, c1, 2, 2, c2), w.dtype)  # a b c i j o
+        tap = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
+        for (a, i), dh in tap.items():
+            for (b, j), dw in tap.items():
+                w2 = w2.at[a, b, :, i, j, :].set(w[dh, dw])
+        return w2.reshape(2, 2, c1 * 4, c2)
+
     def __call__(self, p, x):
         if self._is_s2d_stem():
             w = p["w"]  # (6, 6, c1, c2)
@@ -183,6 +202,11 @@ class Conv(Layer):
             z = tnn.pixel_unshuffle(x, 2)
             p2 = dict(p, w=w)
             return _conv(p2, z, k=3, stride=1, pad=1, act=self.act)
+        if self._is_s2d_down():
+            z = tnn.pixel_unshuffle(x, 2)
+            p2 = dict(p, w=self._s2d_down_weights(p["w"]))
+            return _conv(p2, z, k=2, stride=1, pad=((1, 0), (1, 0)),
+                         act=self.act)
         return _conv(p, x, k=self.k, stride=self.s, pad=self.pad,
                      groups=self.g, act=self.act)
 
