@@ -40,6 +40,9 @@ from lpr_tpu.weights import convert as cvt
 Params = Any
 
 
+S2D_DOWNSAMPLERS = False  # see Conv._is_s2d_down
+
+
 def make_divisible(x: float, divisor: int = 8) -> int:
     return int(math.ceil(x / divisor) * divisor)
 
@@ -177,7 +180,11 @@ class Conv(Layer):
         space-to-depth(2) + Conv(2, s=1, pad=(1,0)): source taps dh in
         {0,1,2} map to (block a, parity i) = (0,1), (1,0), (1,1); the (0,0)
         tap has zero weight.  Worth it only while Cin is lane-starved."""
-        return (self.k == 3 and self.s == 2 and self.pad in (None, 1)
+        # Measured neutral-to-negative on v5e (the k=2 asymmetric-pad conv
+        # lowers worse than the native 3x3/s2), so disabled by default;
+        # the transform itself is exact and unit-tested.
+        return (S2D_DOWNSAMPLERS
+                and self.k == 3 and self.s == 2 and self.pad in (None, 1)
                 and self.g == 1 and self.c1 <= 64)
 
     @staticmethod

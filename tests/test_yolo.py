@@ -164,6 +164,7 @@ def test_classify_head():
 
 def test_s2d_downsampler_equivalence():
     """Conv(3, s=2) == S2D + Conv(2, pad (1,0)) with mapped weights."""
+    import lpr_tpu.models.yolo as Y
     from lpr_tpu.models.yolo import Conv, _conv
     from lpr_tpu.ops import nn as tnn
 
@@ -172,9 +173,13 @@ def test_s2d_downsampler_equivalence():
     c.i, c.f = 0, -1
     p = c.init(jax.random.PRNGKey(0))
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 48, 32))
-    assert c._is_s2d_down()
-    y_fast = c(p, x)
-    y_ref = _conv(p, x, k=3, stride=2, pad=1)
-    assert y_fast.shape == y_ref.shape == (2, 16, 24, 64)
-    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
-                               atol=2e-5)
+    Y.S2D_DOWNSAMPLERS = True
+    try:
+        assert c._is_s2d_down()
+        y_fast = c(p, x)
+        y_ref = _conv(p, x, k=3, stride=2, pad=1)
+        assert y_fast.shape == y_ref.shape == (2, 16, 24, 64)
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                                   atol=2e-5)
+    finally:
+        Y.S2D_DOWNSAMPLERS = False
