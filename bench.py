@@ -28,8 +28,8 @@ def main():
     from lpr_tpu.models.yolo import build_yolo, load_char_ocr, yolov5_spec
     from lpr_tpu.pipeline.recognizer import PipelineConfig, PlateRecognizer
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
     frame_hw = (720, 1280)
     # rect inference (reference letterbox auto=True, augmentations.py:91-121:
     # "minimum rectangle"): detector height snaps to the frame aspect at a
