@@ -140,3 +140,49 @@ def test_pipeline_dp_mesh_matches_single():
     np.testing.assert_array_equal(o1["plate_valid"], o2["plate_valid"])
     np.testing.assert_allclose(np.asarray(o1["sr"]), np.asarray(o2["sr"]),
                                atol=1e-4)
+
+
+@pytest.mark.slow
+def test_full_pipeline_e2e_with_demo_detector():
+    """Every stage live: self-trained plate detector + real char.pt OCR +
+    real LPSR, on synthetic street frames — plates must be found and read."""
+    import os
+    import random
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    if not (os.path.exists("checkpoints/demo_plate.npz")
+            and os.path.exists("/root/reference/weights/char.pt")):
+        pytest.skip("demo/reference weights missing")
+    from tools.synth_plates import random_plate_text, render_frame_with_plates
+
+    from lpr_tpu.models.lpsr import LPSRConfig, load_lpsr
+    from lpr_tpu.models.yolo import load_char_ocr
+    from lpr_tpu.weights.checkpoint import load_params
+
+    plate = build_yolo(yolov5_spec(nc=11, depth=0.33, width=0.25),
+                       strides=(8, 16, 32))
+    pp = load_params("checkpoints/demo_plate.npz",
+                     plate.init(jax.random.PRNGKey(0)))
+    char, cp, ck = load_char_ocr("/root/reference/weights/char.pt")
+    lpsr = load_lpsr("/root/reference/weights/best_model.pth")
+    cfg = PipelineConfig(det_hw=(320, 320), det_conf=0.4, ocr_conf=0.3,
+                         dtype=jnp.float32)
+    rec = PlateRecognizer(plate, pp, char, cp, lpsr, LPSRConfig(), cfg,
+                          char_names=ck.names)
+    rng = random.Random(11)
+    frames, gts = [], []
+    for i in range(2):
+        t = random_plate_text(rng, two_row=False)
+        frames.append(render_frame_with_plates(
+            (320, 320), [(t, False, (80, 90, 240, 134))], rng))
+        gts.append(t)
+    results = rec.recognize(np.stack(frames))
+    from lpr_tpu.eval.harness import cer
+
+    for gt, p in zip(gts, results):
+        assert p, f"plate not detected for {gt}"
+        best = min(cer(gt, p[0]["text"]), cer(gt, p[0]["text_sr"]))
+        # synthetic DejaVu glyphs are out-of-distribution for char.pt;
+        # require near-read (the TPU bench run reads these exactly)
+        assert best <= 0.3, (gt, p[0]["text"], p[0]["text_sr"])
