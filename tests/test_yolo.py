@@ -183,3 +183,31 @@ def test_s2d_downsampler_equivalence():
                                    atol=2e-5)
     finally:
         Y.S2D_DOWNSAMPLERS = False
+
+
+def test_parallel_nms_matches_sequential():
+    """The fixpoint greedy NMS must equal the textbook sequential greedy
+    on adversarial chained-overlap layouts."""
+    from lpr_tpu.ops.nms import _greedy_suppress
+    from lpr_tpu.ops.boxes import box_iou
+
+    rng = np.random.RandomState(0)
+    for trial in range(8):
+        k = 64
+        # chains: boxes sliding in small increments overlap their neighbors
+        base = rng.rand(k, 2) * 60
+        off = np.cumsum(rng.rand(k, 2) * 6, 0) % 80
+        boxes = np.concatenate([off, off + 20 + rng.rand(k, 2) * 5], 1)
+        boxes = jnp.asarray(boxes.astype(np.float32))
+        valid = jnp.asarray(rng.rand(k) > 0.1)
+        iou = box_iou(boxes, boxes)
+        got = np.asarray(_greedy_suppress(iou, valid, 0.3))
+        # sequential reference
+        ioun = np.asarray(iou)
+        validn = np.asarray(valid)
+        suppressed = np.zeros(k, bool)
+        for i in range(k):
+            if validn[i] and not suppressed[i]:
+                suppressed |= (ioun[i] > 0.3) & (np.arange(k) > i)
+        want = validn & ~suppressed
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
