@@ -198,7 +198,12 @@ class YoloDataset:
         augment: bool = True,
         aug: YoloAugConfig = YoloAugConfig(),
         seed: int = 0,
+        transform=None,
     ):
+        """``transform``: optional user hook called as
+        transform(img_u8, labels_px_xyxy, rng) -> (img, labels) right before
+        the HSV/flip stage — the reference's Albumentations integration point
+        (yolov5/utils/augmentations.py:13-44)."""
         self.paths = sorted(
             os.path.join(img_dir, f) for f in os.listdir(img_dir)
             if f.lower().endswith(IMG_EXTS)
@@ -209,6 +214,7 @@ class YoloDataset:
         self.augment = augment
         self.aug = aug
         self.rng = random.Random(seed)
+        self.transform = transform
 
     def __len__(self):
         return len(self.paths)
@@ -347,6 +353,8 @@ class YoloDataset:
                 img, labels_px = random_perspective(
                     img, labels_px, self.rng, self.aug
                 )
+        if self.augment and self.transform is not None:
+            img, labels_px = self.transform(img, labels_px, self.rng)
         if self.augment:
             img = augment_hsv(img, self.rng, self.aug.hsv_h,
                               self.aug.hsv_s, self.aug.hsv_v)

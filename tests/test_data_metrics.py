@@ -143,3 +143,18 @@ def test_mosaic9_and_visualize(img_tree, tmp_path):
     a = np.random.rand(1, 32, 32, 3) * 2 - 1
     save_cyclegan_epoch_grid(str(tmp_path / "cg.png"), a, a, a, a, a, a)
     assert (tmp_path / "cg.png").exists()
+
+
+def test_yolo_dataset_transform_hook(img_tree):
+    from lpr_tpu.data.yolo_data import YoloDataset
+
+    calls = []
+
+    def hook(img, labels, rng):
+        calls.append(img.shape)
+        return img, labels
+
+    ds = YoloDataset(str(img_tree / "images"), str(img_tree / "labels"),
+                     img_hw=(64, 64), augment=True, transform=hook)
+    ds.get(0)
+    assert calls
