@@ -83,3 +83,21 @@ def test_cli_run_on_folder(tmp_path):
     ann = annotate_frame(frames[0], results[0], fps=1.0)
     Image.fromarray(ann).save(os.path.join(out, "frame.jpg"))
     assert os.path.exists(os.path.join(out, "frame.jpg"))
+
+
+@requires_ref
+@pytest.mark.slow
+def test_cli_find_improvement(tmp_path):
+    """Improvement finder runs end-to-end on the real LR plates (these are
+    exactly the 'convincing improvement' cases from the reference report)."""
+    from lpr_tpu.cli.find_improvement import main
+
+    out = str(tmp_path / "improved")
+    main(["--eval-folder", "tests/fixtures/real_plates",
+          "--sr-weights", REF_LPSR, "--ocr-weights", REF_CHAR,
+          "--out", out, "--low-conf", "0.45", "--high-conf", "0.6"])
+    import os
+
+    found = os.listdir(out) if os.path.exists(out) else []
+    # at least one of the 6 plates must qualify as a convincing improvement
+    assert found, "no improvement panels produced"
