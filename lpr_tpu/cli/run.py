@@ -47,7 +47,9 @@ def parse_args(argv=None):
 
 
 def frame_source(source: str) -> Iterator[np.ndarray]:
-    """Yield RGB uint8 frames from a video file or an image folder."""
+    """Yield RGB uint8 frames — source router like the reference detect CLI
+    (yolov5/detect.py:80-100): image folder, single image, video file,
+    stream URL (rtsp/http), or webcam index."""
     if os.path.isdir(source):
         from PIL import Image
 
@@ -57,9 +59,14 @@ def frame_source(source: str) -> Iterator[np.ndarray]:
                     Image.open(os.path.join(source, f)).convert("RGB")
                 )
         return
+    if source.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")):
+        from PIL import Image
+
+        yield np.asarray(Image.open(source).convert("RGB"))
+        return
     import cv2
 
-    cap = cv2.VideoCapture(source)
+    cap = cv2.VideoCapture(int(source) if source.isdigit() else source)
     try:
         while True:
             ok, frame = cap.read()
@@ -109,17 +116,16 @@ def main(argv=None):
     idx = 0
     t_last = time.perf_counter()
     fps = 0.0
-    for frame in frame_source(args.source):
-        batch.append(frame)
-        if len(batch) < args.batch:
-            continue
-        shapes = {b.shape for b in batch}
-        assert len(shapes) == 1, "mixed frame sizes in one batch"
-        results = rec.recognize(np.stack(batch))
+
+    def flush(frames: List[np.ndarray]):
+        nonlocal idx, fps, t_last
+        n = len(frames)
+        padded = frames + [frames[-1]] * (args.batch - n)
+        results = rec.recognize(np.stack(padded))[:n]
         now = time.perf_counter()
-        fps = len(batch) / (now - t_last)
+        fps = n / (now - t_last)
         t_last = now
-        for f, plates in zip(batch, results):
+        for f, plates in zip(frames, results):
             ann = annotate_frame(f, plates, fps=fps)
             Image.fromarray(ann).save(
                 os.path.join(args.out, f"frame_{idx:06d}.jpg"), quality=90
@@ -132,9 +138,18 @@ def main(argv=None):
                 print(f"frame {idx}: {p['text']!r} / SR {p['text_sr']!r} "
                       f"conf {p['score']:.2f}")
             idx += 1
+
+    for frame in frame_source(args.source):
+        batch.append(frame)
+        if len(batch) < args.batch:
+            continue
+        assert len({b.shape for b in batch}) == 1, "mixed frame sizes"
+        flush(batch)
         batch.clear()
         if args.max_frames and idx >= args.max_frames:
             break
+    if batch and not (args.max_frames and idx >= args.max_frames):
+        flush(batch)  # trailing partial batch (padded to compiled shape)
     print(f"done: {idx} frames -> {args.out} (last fps {fps:.1f})")
 
 
