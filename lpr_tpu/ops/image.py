@@ -69,11 +69,15 @@ def letterbox(
     if not scaleup:
         gain = min(gain, 1.0)
     nh, nw = int(round(h * gain)), int(round(w * gain))
-    resized = resize_bilinear(x, (nh, nw))
+    resized = x if (nh, nw) == (h, w) else resize_bilinear(x, (nh, nw))
     pad_top = (oh - nh) // 2
     pad_left = (ow - nw) // 2
-    out = jnp.full((b, oh, ow, c), fill, x.dtype)
-    out = jax.lax.dynamic_update_slice(out, resized, (0, pad_top, pad_left, 0))
+    out = jnp.pad(
+        resized,
+        ((0, 0), (pad_top, oh - nh - pad_top), (pad_left, ow - nw - pad_left),
+         (0, 0)),
+        constant_values=jnp.asarray(fill, x.dtype),
+    )
     return out, jnp.float32(gain), jnp.asarray([pad_left, pad_top], jnp.float32)
 
 

@@ -50,9 +50,9 @@ def resize_matmul(img: Array, out_hw: Tuple[int, int]) -> Array:
     ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh) - 0.5
     xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow) - 0.5
     ry = interp_weights(ys, h)
-    ry = ry / jnp.maximum(ry.sum(-1, keepdims=True), 1e-8)
+    ry = (ry / jnp.maximum(ry.sum(-1, keepdims=True), 1e-8)).astype(img.dtype)
     rx = interp_weights(xs, w)
-    rx = rx / jnp.maximum(rx.sum(-1, keepdims=True), 1e-8)
+    rx = (rx / jnp.maximum(rx.sum(-1, keepdims=True), 1e-8)).astype(img.dtype)
     t = jnp.einsum("oh,...hwc->...owc", ry, img)
     return jnp.einsum("pw,...owc->...opc", rx, t)
 
@@ -72,9 +72,9 @@ def extract_tile(
     ys = cy - eh / 2 + (jnp.arange(th, dtype=jnp.float32) + 0.5) * (eh / th) - 0.5
     xs = cx - ew / 2 + (jnp.arange(tw, dtype=jnp.float32) + 0.5) * (ew / tw) - 0.5
     ry = interp_weights(ys, H)
-    ry = ry / jnp.maximum(ry.sum(-1, keepdims=True), 1e-8)
+    ry = (ry / jnp.maximum(ry.sum(-1, keepdims=True), 1e-8)).astype(frame.dtype)
     rx = interp_weights(xs, W)
-    rx = rx / jnp.maximum(rx.sum(-1, keepdims=True), 1e-8)
+    rx = (rx / jnp.maximum(rx.sum(-1, keepdims=True), 1e-8)).astype(frame.dtype)
     t = jnp.einsum("th,hwc->twc", ry, frame)
     return jnp.einsum("pw,twc->tpc", rx, t)
 
@@ -107,12 +107,12 @@ def affine_resample(
     # pass 1: per source row, horizontal positions (th, ow)
     u_p1 = (j_idx[None, :] * (a - b * c / d)
             + vr[:, None] * (b / d) + (tu - b * tv / d))
-    m1 = interp_weights(u_p1, tw)              # (th, ow, tw)
+    m1 = interp_weights(u_p1, tw).astype(tile.dtype)   # (th, ow, tw)
     f1 = jnp.einsum("rjw,rwc->rjc", m1, tile)  # (th, ow, C)
     # pass 2: per output column, vertical positions (ow, oh)
     i_idx = jnp.arange(oh, dtype=jnp.float32)
     v_p2 = c * j_idx[:, None] + d * i_idx[None, :] + tv  # (ow, oh)
-    m2 = interp_weights(v_p2, th)              # (ow, oh, th)
+    m2 = interp_weights(v_p2, th).astype(tile.dtype)   # (ow, oh, th)
     out = jnp.einsum("jir,rjc->ijc", m2, f1)   # (oh, ow, C)
     return out
 

@@ -187,10 +187,10 @@ class PlateRecognizer:
         def step(params, frames):
             B = frames.shape[0]
             P = cfg.max_plates
-            x = im.uint8_to_float(frames)
+            x = frames.astype(cfg.dtype) / 255.0
             fh, fw = x.shape[1], x.shape[2]
             lb, gain, pad = im.letterbox(x, cfg.det_hw, fill=0.0)
-            pred, _ = self.plate_model.apply(params["plate"], lb.astype(cfg.dtype))
+            pred, _ = self.plate_model.apply(params["plate"], lb)
             det = nms_batched(
                 pred, cfg.det_conf, cfg.iou, max_det=16, pre_topk=64,
                 multi_label=True, agnostic=True, class_mask=self.plate_mask,
@@ -216,7 +216,7 @@ class PlateRecognizer:
             sh, sw = cfg.sr_hw
             oh, ow = cfg.ocr_hw
             sr_in = long_img.reshape(B * P, sh, sw, 3)
-            sr_out = lpsr_apply(params["lpsr"], sr_in.astype(cfg.dtype), lpsr_cfg)
+            sr_out = lpsr_apply(params["lpsr"], sr_in, lpsr_cfg)
             sr_out = sr_out.astype(jnp.float32)
             ocr_sr = jax.vmap(sr_to_ocr_canvas)(
                 sr_out, is_long.reshape(B * P, 1, 1, 1)
@@ -224,7 +224,7 @@ class PlateRecognizer:
             ocr_in = jnp.concatenate(
                 [ocr_orig.reshape(B * P, oh, ow, 3), ocr_sr], axis=0
             )  # (2*B*P, oh, ow, 3)
-            cpred, _ = self.char_model.apply(params["char"], ocr_in.astype(cfg.dtype))
+            cpred, _ = self.char_model.apply(params["char"], ocr_in.astype(cfg.dtype))  # sr canvas is f32
             cdet = nms_batched(
                 cpred, cfg.ocr_conf, cfg.iou, max_det=cfg.max_chars,
                 pre_topk=128, multi_label=True, agnostic=True,
