@@ -186,3 +186,11 @@ def test_full_pipeline_e2e_with_demo_detector():
         # synthetic DejaVu glyphs are out-of-distribution for char.pt;
         # require near-read (the TPU bench run reads these exactly)
         assert best <= 0.3, (gt, p[0]["text"], p[0]["text_sr"])
+
+
+def test_pipeline_batch_one_and_small_frames(tiny_recognizer):
+    """Robustness: B=1 and frames smaller than the detector input."""
+    frames = (np.random.RandomState(1).rand(1, 120, 160, 3) * 255
+              ).astype(np.uint8)
+    results = tiny_recognizer.recognize(frames)
+    assert len(results) == 1
