@@ -75,13 +75,19 @@ class YoloTrainer:
         loss_cfg: YoloLossConfig = YoloLossConfig(),
         steps_per_epoch: int = 100,
         mesh=None,
+        accumulate: int = 1,
     ):
+        """``accumulate``: micro-batches summed per optimizer step (pass
+        images of shape (accumulate*b, ...) to step()); the reference derives
+        it as nominal_batch/batch (train.py:151-152)."""
         self.model = model
         self.cfg = cfg
         self.loss_cfg = loss_cfg
         self.steps_per_epoch = steps_per_epoch
         self.mesh = mesh
+        self.accumulate = accumulate
         anchors = jnp.asarray(model.anchors)
+        accumulate = max(int(accumulate), 1)
 
         warmup_steps = max(round(cfg.warmup_epochs * steps_per_epoch), 100)
 
@@ -111,9 +117,31 @@ class YoloTrainer:
             return jax.tree_util.tree_unflatten(treedef, out)
 
         def train_step(params, momenta, ema, step, images, labels):
-            (total, (comps, bn_params)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, images, labels)
+            if accumulate > 1:
+                # gradient accumulation to the nominal batch (reference
+                # train.py:151-152,329-346): sum grads over `accumulate`
+                # micro-batches, one optimizer step.  lax.scan keeps one
+                # micro-batch of activations live at a time.
+                mb_i = images.reshape(accumulate, -1, *images.shape[1:])
+                mb_l = labels.reshape(accumulate, -1, *labels.shape[1:])
+
+                def body(carry, mb):
+                    g_acc, bn_prev, tot = carry
+                    (t, (comps, bn)), g = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, mb[0], mb[1])
+                    g_acc = jax.tree.map(jnp.add, g_acc, g)
+                    return (g_acc, bn, tot + t), comps
+
+                g0 = jax.tree.map(jnp.zeros_like, params)
+                (grads, bn_params, total), comps_seq = jax.lax.scan(
+                    body, (g0, params, jnp.float32(0.0)), (mb_i, mb_l)
+                )
+                comps = jax.tree.map(lambda a: a[-1], comps_seq)
+            else:
+                (total, (comps, bn_params)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, images, labels)
             epoch_f = step.astype(jnp.float32) / steps_per_epoch
             base_lr = cfg.lr0 * lr_schedule(cfg, epoch_f)
             wprog = jnp.clip(step.astype(jnp.float32) / warmup_steps, 0.0, 1.0)

@@ -157,3 +157,32 @@ def test_fit_yolo_overfit_reaches_map(tmp_path):
     assert metrics["map50"] > 0.3
     assert (tmp_path / "last.npz").exists()
     assert (tmp_path / "best.npz").exists()
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accumulate=2 over two half-batches must produce (nearly) the same
+    update as one full-batch step (BN batch stats differ slightly)."""
+    model = build_yolo(tiny_spec(), strides=(8,))
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(4, 64, 64, 3).astype(np.float32)
+    labels = np.zeros((4, 2, 5), np.float32)
+    labels[:, 0] = [1.0, 0.5, 0.5, 0.4, 0.4]
+    from lpr_tpu.train.yolo import YoloTrainConfig, YoloTrainer
+
+    cfg = YoloTrainConfig(lr0=0.01, warmup_epochs=0.0, epochs=100)
+    t1 = YoloTrainer(model, cfg, steps_per_epoch=1)
+    t2 = YoloTrainer(model, cfg, steps_per_epoch=1, accumulate=2)
+    s1 = t1.init(jax.random.PRNGKey(0))
+    s2 = t2.init(jax.random.PRNGKey(0))
+    s1, l1, _ = t1.step(s1, jnp.asarray(imgs), jnp.asarray(labels))
+    s2, l2, _ = t2.step(s2, jnp.asarray(imgs), jnp.asarray(labels))
+    # accumulated loss = sum over micro-batches of per-micro loss (*b each);
+    # full-batch loss scales by 4: both represent the same total within BN
+    # batch-stat differences
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(s1["params"])
+                        if np.asarray(x).ndim > 0])
+    b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(s2["params"])
+                        if np.asarray(x).ndim > 0])
+    # parameter updates agree to first order
+    assert np.abs(a - b).max() < 5e-3
