@@ -1170,12 +1170,48 @@ def apply_augmented(model: YoloModel, params, x):
     return jnp.concatenate(preds, axis=1)
 
 
-def load_char_ocr(path: str, fuse: bool = True):
-    """Build + load the char OCR model from the shipped char.pt."""
+def load_yolo_torch(path: str, fuse: bool = True):
+    """Generic ``attempt_load`` equivalent: reconstruct ANY YOLOv5 ``.pt``
+    from its embedded architecture yaml (without executing pickle code) and
+    import its weights.
+
+    Returns (model, params, YoloCheckpoint).  The spec comes from the
+    checkpoint's own yaml (reference Model.__init__ path, yolo.py:84-121);
+    anchors come from the Detect buffer (AutoAnchor-evolved values survive),
+    strides from the saved stride tensor.
+    """
     from lpr_tpu.weights.torch_ckpt import YoloCheckpoint
 
     ck = YoloCheckpoint(path)
-    spec = char_ocr_spec()
-    model = build_yolo(spec, ckpt_anchors=ck.anchors, strides=(8,))
+    if not ck.yaml.get("backbone"):
+        raise ValueError(f"{path}: no architecture yaml in checkpoint")
+
+    def norm_rows(rows):
+        return tuple(
+            (r[0] if not isinstance(r[0], list) else list(r[0]),
+             int(r[1]), str(r[2]), list(r[3]))
+            for r in rows
+        )
+
+    spec = YoloSpec(
+        nc=ck.nc,
+        depth_multiple=float(ck.yaml.get("depth_multiple", 1.0)),
+        width_multiple=float(ck.yaml.get("width_multiple", 1.0)),
+        anchors=ck.yaml.get("anchors"),
+        backbone=norm_rows(ck.yaml["backbone"]),
+        head=norm_rows(ck.yaml["head"]),
+        ch=int(ck.yaml.get("ch", 3)),
+    )
+    if ck.stride is not None:
+        strides = tuple(int(s) for s in np.asarray(ck.stride).ravel())
+    else:  # infer from number of Detect inputs (P3 up)
+        nl = len(spec.head[-1][0])
+        strides = tuple(8 * 2**i for i in range(nl))
+    model = build_yolo(spec, ckpt_anchors=ck.anchors, strides=strides)
     params = model.import_torch(ck.state_dict, fuse=fuse)
     return model, params, ck
+
+
+def load_char_ocr(path: str, fuse: bool = True):
+    """Build + load the char OCR model from the shipped char.pt."""
+    return load_yolo_torch(path, fuse=fuse)
