@@ -68,6 +68,10 @@ class PipelineConfig:
     # False falls back to the gather-based reference-exact sampler.
     fast_geometry: bool = True
     tile_hw: Tuple[int, int] = (64, 256)
+    # Reference parity runs OCR on BOTH the raw crop and the SR output
+    # (run.py:197,207).  False = SR-only OCR: halves the char-model work for
+    # throughput serving where only the enhanced reading matters.
+    ocr_on_original: bool = True
 
 
 def _aspect_canvas(img: jax.Array, canvas_hw: Tuple[int, int],
@@ -221,9 +225,12 @@ class PlateRecognizer:
             ocr_sr = jax.vmap(sr_to_ocr_canvas)(
                 sr_out, is_long.reshape(B * P, 1, 1, 1)
             )
-            ocr_in = jnp.concatenate(
-                [ocr_orig.reshape(B * P, oh, ow, 3), ocr_sr], axis=0
-            )  # (2*B*P, oh, ow, 3)
+            if cfg.ocr_on_original:
+                ocr_in = jnp.concatenate(
+                    [ocr_orig.reshape(B * P, oh, ow, 3), ocr_sr], axis=0
+                )  # (2*B*P, oh, ow, 3)
+            else:
+                ocr_in = ocr_sr
             cpred, _ = self.char_model.apply(params["char"], ocr_in.astype(cfg.dtype))  # sr canvas is f32
             cdet = nms_batched(
                 cpred, cfg.ocr_conf, cfg.iou, max_det=cfg.max_chars,
@@ -238,9 +245,10 @@ class PlateRecognizer:
                 "sr": sr_out.reshape(B, P, sh, sw, 1),
                 "chars_orig": jax.tree.map(
                     lambda a: a[: B * P].reshape(B, P, *a.shape[1:]), cdet
-                ),
+                ) if cfg.ocr_on_original else None,
                 "chars_sr": jax.tree.map(
-                    lambda a: a[B * P :].reshape(B, P, *a.shape[1:]), cdet
+                    lambda a: a[B * P if cfg.ocr_on_original else 0 :].reshape(
+                        B, P, *a.shape[1:]), cdet
                 ),
             }
 
@@ -269,7 +277,7 @@ class PlateRecognizer:
                     "is_long": bool(out["is_long"][b, p]),
                     "text": detections_to_string(
                         co["boxes"][b, p], co["classes"][b, p],
-                        co["valid"][b, p], **kw),
+                        co["valid"][b, p], **kw) if co is not None else "",
                     "text_sr": detections_to_string(
                         cs["boxes"][b, p], cs["classes"][b, p],
                         cs["valid"][b, p], **kw),

@@ -194,3 +194,25 @@ def test_pipeline_batch_one_and_small_frames(tiny_recognizer):
               ).astype(np.uint8)
     results = tiny_recognizer.recognize(frames)
     assert len(results) == 1
+
+
+def test_pipeline_sr_only_ocr_mode():
+    """ocr_on_original=False halves the OCR work and still returns results."""
+    plate = build_yolo(yolov5_spec(nc=11, depth=0.33, width=0.25),
+                       strides=(8, 16, 32))
+    char = build_yolo(yolov5_spec(nc=36, depth=0.33, width=0.25),
+                      strides=(8, 16, 32))
+    key = jax.random.PRNGKey(0)
+    cfg = PipelineConfig(det_hw=(192, 192), det_conf=0.001, ocr_conf=0.9,
+                         dtype=jnp.float32, ocr_on_original=False)
+    lpsr_cfg = LPSRConfig(num_features=8, growth_rate=4, num_blocks=2,
+                          num_layers=2)
+    rec = PlateRecognizer(plate, plate.init(key), char, char.init(key),
+                          lpsr_init(key, lpsr_cfg), lpsr_cfg, cfg)
+    frames = (np.random.RandomState(0).rand(2, 144, 192, 3) * 255
+              ).astype(np.uint8)
+    results = rec.recognize(frames)
+    for plates in results:
+        for p in plates:
+            assert p["text"] == ""  # no original-path OCR in this mode
+            assert isinstance(p["text_sr"], str)
