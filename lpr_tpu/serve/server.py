@@ -30,6 +30,10 @@ class ServeConfig:
     max_batch: int = 8          # compiled batch size (pad to this)
     max_delay_ms: float = 5.0   # dynamic batching window
     queue_size: int = 256
+    # Optional up-front frame shape lock (H, W).  If None, the first
+    # submitted frame fixes the served shape; later mismatches are rejected
+    # at submit() time (mixed shapes cannot share one compiled batch).
+    frame_hw: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -58,6 +62,9 @@ class InferenceServer:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = ServerStats()
+        self._shape_lock = threading.Lock()
+        self._frame_shape: Optional[tuple] = (
+            (*cfg.frame_hw, 3) if cfg.frame_hw is not None else None)
 
     # ------------------------------------------------------------------
     def start(self):
@@ -78,7 +85,26 @@ class InferenceServer:
 
     # ------------------------------------------------------------------
     def submit(self, frame: np.ndarray) -> Future:
-        """frame: (H, W, 3) uint8 RGB -> Future[List[plate dict]]."""
+        """frame: (H, W, 3) uint8 RGB -> Future[List[plate dict]].
+
+        Shape/dtype are validated here, not in the collector: frames of
+        different resolutions cannot share one compiled batch, so the first
+        accepted frame (or ``ServeConfig.frame_hw``) locks the served shape
+        and mismatches raise immediately instead of poisoning a batch.
+        """
+        frame = np.asarray(frame)
+        if frame.ndim != 3 or frame.shape[-1] != 3:
+            raise ValueError(f"expected (H, W, 3) RGB frame, got {frame.shape}")
+        if frame.dtype != np.uint8:
+            raise ValueError(f"expected uint8 frame, got {frame.dtype}")
+        with self._shape_lock:
+            if self._frame_shape is None:
+                self._frame_shape = frame.shape
+            elif frame.shape != self._frame_shape:
+                raise ValueError(
+                    f"frame shape {frame.shape} does not match the served "
+                    f"shape {self._frame_shape} (one compiled batch shape "
+                    f"per server; resize client-side or run a second server)")
         fut: Future = Future()
         self._q.put((frame, fut, time.perf_counter()))
         return fut
@@ -110,11 +136,13 @@ class InferenceServer:
             items = self._collect()
             if not items:
                 continue
-            frames = [it[0] for it in items]
-            n = len(frames)
-            pad = self.cfg.max_batch - n
-            batch = np.stack(frames + [frames[-1]] * pad)
+            n = len(items)
             try:
+                # batch assembly inside the try: any failure here must
+                # resolve the futures, never kill the collector thread
+                frames = [it[0] for it in items]
+                pad = self.cfg.max_batch - n
+                batch = np.stack(frames + [frames[-1]] * pad)
                 results = self.rec.recognize(batch)
             except Exception as e:  # resolve futures with the error
                 for _, fut, _ in items:

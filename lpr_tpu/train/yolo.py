@@ -126,12 +126,18 @@ class YoloTrainer:
                 mb_l = labels.reshape(accumulate, -1, *labels.shape[1:])
 
                 def body(carry, mb):
-                    g_acc, bn_prev, tot = carry
+                    # p_cur = params with the running BN stats evolved by the
+                    # previous micro-batches: torch updates running mean/var
+                    # on EVERY forward (train.py micro-batch loop), and in
+                    # train mode the stats don't affect outputs/grads, so
+                    # threading them through the carry matches torch without
+                    # perturbing the accumulated gradient.
+                    g_acc, p_cur, tot = carry
                     (t, (comps, bn)), g = jax.value_and_grad(
                         loss_fn, has_aux=True
-                    )(params, mb[0], mb[1])
+                    )(p_cur, mb[0], mb[1])
                     g_acc = jax.tree.map(jnp.add, g_acc, g)
-                    return (g_acc, bn, tot + t), comps
+                    return (g_acc, _take_bn_stats(p_cur, bn), tot + t), comps
 
                 g0 = jax.tree.map(jnp.zeros_like, params)
                 (grads, bn_params, total), comps_seq = jax.lax.scan(
@@ -162,14 +168,32 @@ class YoloTrainer:
                 update = g + mom * m_new  # nesterov
                 new_p.append(p - lr * update)
                 new_m.append(m_new)
-            params = jax.tree_util.tree_unflatten(treedef, new_p)
-            momenta = jax.tree_util.tree_unflatten(treedef, new_m)
-            params = _take_bn_stats(params, bn_params)
+            cand_p = jax.tree_util.tree_unflatten(treedef, new_p)
+            cand_m = jax.tree_util.tree_unflatten(treedef, new_m)
+            cand_p = _take_bn_stats(cand_p, bn_params)
 
             # EMA with ramped decay (torch_utils.py:299-317)
             d = cfg.ema_decay * (1.0 - jnp.exp(-(step + 1).astype(jnp.float32)
                                                / cfg.ema_tau))
-            ema = jax.tree.map(lambda e, q: e * d + (1.0 - d) * q, ema, params)
+            cand_e = jax.tree.map(lambda e, q: e * d + (1.0 - d) * q,
+                                  ema, cand_p)
+
+            # Non-finite guard: a NaN/Inf loss or gradient makes the whole
+            # step a true no-op (params/momenta/EMA/BN all keep their old
+            # values) so one bad batch can't poison the weights; the step
+            # counter still advances so schedules stay on wall-clock.  The
+            # host-side StepGuard in fit_yolo handles escalation/halt.
+            from lpr_tpu.utils.guards import tree_all_finite
+
+            ok = jnp.logical_and(jnp.isfinite(total), tree_all_finite(grads))
+
+            def sel(new, old):
+                return jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                    new, old)
+
+            params = sel(cand_p, params)
+            momenta = sel(cand_m, momenta)
+            ema = sel(cand_e, ema)
             return params, momenta, ema, step + 1, total, comps
 
         if mesh is not None:

@@ -26,6 +26,14 @@ _ONNX_DTYPES = {
 }
 
 
+def _signed64(v: int) -> int:
+    """Two's-complement int64 view of a varint.  Protobuf encodes negative
+    int64 values as 10-byte varints whose raw unsigned value is >= 2**63;
+    left unmasked they overflow np.int64 (-1 would parse as 2**64-1)."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _read_varint(buf: bytes, i: int) -> Tuple[int, int]:
     out = 0
     shift = 0
@@ -72,12 +80,12 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     for field, wt, v in _fields(buf):
         if field == 1:  # dims
             if wt == 0:
-                dims.append(v)
+                dims.append(_signed64(v))
             else:  # packed
                 i = 0
                 while i < len(v):
                     d, i = _read_varint(v, i)
-                    dims.append(d)
+                    dims.append(_signed64(d))
         elif field == 2 and wt == 0:
             dtype = _ONNX_DTYPES.get(v, np.dtype("<f4"))
         elif field == 4:  # float_data (packed or single)
@@ -90,9 +98,9 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
                 i = 0
                 while i < len(v):
                     d, i = _read_varint(v, i)
-                    int64_data.append(d)
+                    int64_data.append(_signed64(d))
             else:
-                int64_data.append(v)
+                int64_data.append(_signed64(v))
         elif field == 8 and wt == 2:
             name = v.decode("utf-8", "replace")
         elif field == 9 and wt == 2:

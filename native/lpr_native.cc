@@ -45,7 +45,10 @@ uint8_t* decode_jpeg(const uint8_t* data, size_t len, int* w, int* h) {
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
-  uint8_t* out = nullptr;
+  // volatile: `out` is written between setjmp and longjmp; without the
+  // qualifier its value after longjmp is indeterminate (C 7.13.2.1) and the
+  // error path's free() would be UB on a corrupt/truncated JPEG.
+  uint8_t* volatile out = nullptr;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     free(out);
@@ -60,6 +63,10 @@ uint8_t* decode_jpeg(const uint8_t* data, size_t len, int* w, int* h) {
   *h = cinfo.output_height;
   size_t stride = static_cast<size_t>(*w) * 3;
   out = static_cast<uint8_t*>(malloc(stride * *h));
+  if (out == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return nullptr;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out + cinfo.output_scanline * stride;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -77,6 +84,10 @@ uint8_t* decode_png(const uint8_t* data, size_t len, int* w, int* h) {
   image.format = PNG_FORMAT_RGB;
   size_t stride = PNG_IMAGE_ROW_STRIDE(image);
   auto* out = static_cast<uint8_t*>(malloc(PNG_IMAGE_SIZE(image)));
+  if (out == nullptr) {
+    png_image_free(&image);
+    return nullptr;
+  }
   if (!png_image_finish_read(&image, nullptr, out, stride, nullptr)) {
     free(out);
     png_image_free(&image);
@@ -136,8 +147,16 @@ uint8_t* read_file(const char* path, size_t* len) {
   if (!f) return nullptr;
   fseek(f, 0, SEEK_END);
   long sz = ftell(f);
+  if (sz < 0) {
+    fclose(f);
+    return nullptr;
+  }
   fseek(f, 0, SEEK_SET);
-  auto* buf = static_cast<uint8_t*>(malloc(sz));
+  auto* buf = static_cast<uint8_t*>(malloc(sz > 0 ? sz : 1));
+  if (buf == nullptr) {
+    fclose(f);
+    return nullptr;
+  }
   size_t got = fread(buf, 1, sz, f);
   fclose(f);
   if (static_cast<long>(got) != sz) {

@@ -40,6 +40,47 @@ def test_onnx_initializers_match_torch_ckpt():
     assert same >= 60  # ONNX export keeps torch names + values
 
 
+def _vint(v: int) -> bytes:
+    v &= (1 << 64) - 1
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _field(num: int, wt: int, payload: bytes) -> bytes:
+    key = _vint((num << 3) | wt)
+    if wt == 2:
+        return key + _vint(len(payload)) + payload
+    return key + payload
+
+
+def test_negative_int64_initializers(tmp_path):
+    """Protobuf encodes negative int64 as 10-byte two's-complement varints;
+    the parser must sign-extend them (round-1 advisor finding: -1 parsed as
+    2**64-1 and overflowed np.int64)."""
+    from lpr_tpu.weights.onnx_import import load_onnx
+
+    tensor = (
+        _field(8, 2, b"neg")            # name
+        + _field(1, 0, _vint(3))        # dims = [3]
+        + _field(2, 0, _vint(7))        # data_type = INT64
+        + _field(7, 0, _vint(1))        # int64_data
+        + _field(7, 0, _vint(-1))
+        + _field(7, 0, _vint(-1280))
+    )
+    model = _field(7, 2, _field(5, 2, tensor))  # ModelProto.graph.initializer
+    p = tmp_path / "neg.onnx"
+    p.write_bytes(model)
+    init = load_onnx(str(p))["initializers"]
+    np.testing.assert_array_equal(init["neg"], np.asarray([1, -1, -1280]))
+    assert init["neg"].dtype == np.int64
+
+
 @requires_onnx
 def test_lpsr_from_onnx_forward_matches_pth(lpsr_golden):
     from lpr_tpu.models.lpsr import LPSRConfig, load_lpsr, lpsr_apply

@@ -63,6 +63,33 @@ def test_server_propagates_errors():
             fut.result(timeout=10)
 
 
+def test_server_rejects_mismatched_shapes_at_submit():
+    """Frames of different resolutions cannot share one compiled batch; the
+    second shape must be rejected in submit() (not die in the collector and
+    hang every future — round-1 advisor finding)."""
+    rec = FakeRecognizer()
+    with InferenceServer(rec, ServeConfig(max_batch=4, max_delay_ms=5.0)) as srv:
+        ok = srv.submit(np.zeros((8, 8, 3), np.uint8))
+        with pytest.raises(ValueError):
+            srv.submit(np.zeros((16, 16, 3), np.uint8))
+        with pytest.raises(ValueError):
+            srv.submit(np.zeros((8, 8, 3), np.float32))  # wrong dtype
+        with pytest.raises(ValueError):
+            srv.submit(np.zeros((8, 8), np.uint8))  # wrong rank
+        assert len(ok.result(timeout=10)) == 1
+        # the loop survived: a follow-up same-shape request still works
+        assert srv.infer(np.zeros((8, 8, 3), np.uint8))[0]["text"] == "T0"
+
+
+def test_server_frame_hw_lock_up_front():
+    rec = FakeRecognizer()
+    cfg = ServeConfig(max_batch=2, max_delay_ms=1.0, frame_hw=(8, 8))
+    with InferenceServer(rec, cfg) as srv:
+        with pytest.raises(ValueError):
+            srv.submit(np.zeros((4, 4, 3), np.uint8))
+        assert srv.infer(np.zeros((8, 8, 3), np.uint8))[0]["text"] == "T0"
+
+
 def test_http_frontend():
     from lpr_tpu.serve.http import HttpFrontend
 

@@ -159,6 +159,33 @@ def test_fit_yolo_overfit_reaches_map(tmp_path):
     assert (tmp_path / "best.npz").exists()
 
 
+def test_nonfinite_step_is_true_noop():
+    """A NaN batch must leave params/momenta/EMA bitwise unchanged (the
+    update is gated on finite loss+grads inside the jitted step), and the
+    trainer must keep working on the next good batch."""
+    model = build_yolo(tiny_spec(), strides=(8,))
+    trainer = YoloTrainer(model, YoloTrainConfig(warmup_epochs=0.0),
+                          steps_per_epoch=1)
+    state = trainer.init(jax.random.PRNGKey(0))
+    before = [np.asarray(x).copy() for x in jax.tree.leaves(
+        {"params": state["params"], "ema": state["ema"]})]
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(2, 64, 64, 3).astype(np.float32)
+    labels = np.zeros((2, 2, 5), np.float32)
+    labels[:, 0] = [1.0, 0.5, 0.5, 0.4, 0.4]
+    bad = imgs.copy()
+    bad[0, 0, 0, 0] = np.nan
+    s1, total, _ = trainer.step(state, jnp.asarray(bad), jnp.asarray(labels))
+    assert not np.isfinite(float(total))
+    after = [np.asarray(x) for x in jax.tree.leaves(
+        {"params": s1["params"], "ema": s1["ema"]})]
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, b)
+    assert int(s1["step"]) == 1  # schedule time still advances
+    s2, t2, _ = trainer.step(s1, jnp.asarray(imgs), jnp.asarray(labels))
+    assert np.isfinite(float(t2))
+
+
 def test_grad_accumulation_matches_full_batch():
     """accumulate=2 over two half-batches must produce (nearly) the same
     update as one full-batch step (BN batch stats differ slightly)."""
@@ -180,9 +207,29 @@ def test_grad_accumulation_matches_full_batch():
     # full-batch loss scales by 4: both represent the same total within BN
     # batch-stat differences
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
-    a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(s1["params"])
-                        if np.asarray(x).ndim > 0])
-    b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(s2["params"])
-                        if np.asarray(x).ndim > 0])
-    # parameter updates agree to first order
+
+    def split(params):
+        """(gradient-updated leaves, BN running-stat leaves)."""
+        grads_l, stats_l = [], []
+        for path, x in jax.tree_util.tree_flatten_with_path(params)[0]:
+            keys = [str(getattr(p, "key", "")) for p in path]
+            if np.asarray(x).ndim == 0:
+                continue
+            if len(keys) >= 2 and keys[-2] == "bn" and keys[-1] in (
+                "mean", "var"
+            ):
+                stats_l.append(np.ravel(x))
+            else:
+                grads_l.append(np.ravel(x))
+        return np.concatenate(grads_l), np.concatenate(stats_l)
+
+    a, a_stats = split(s1["params"])
+    b, b_stats = split(s2["params"])
+    # gradient-updated parameters agree to first order
     assert np.abs(a - b).max() < 5e-3
+    # BN running stats intentionally differ: torch updates them on every
+    # micro-batch forward (2 EMA steps here) vs 1 step for the full batch,
+    # so the accumulated trainer's stats moved further from init
+    init_stats = split(t1.init(jax.random.PRNGKey(0))["params"])[1]
+    assert (np.abs(b_stats - init_stats).sum()
+            > np.abs(a_stats - init_stats).sum())
