@@ -428,12 +428,16 @@ class SPPF(Layer):
 
 @dataclasses.dataclass
 class GhostConv(Layer):
-    """Ghost conv (common.py:211-221)."""
+    """Ghost conv (common.py:211-221).  ``act`` applies to BOTH the primary
+    and the cheap depthwise conv, matching the reference's
+    ``Conv(..., act)`` pair; GhostBottleneck passes act="none" for its
+    pw-linear second GhostConv (common.py:230)."""
 
     c1: int
     c2: int
     k: int = 1
     s: int = 1
+    act: str = "silu"
 
     def init(self, key):
         c_ = self.c2 // 2
@@ -447,8 +451,9 @@ class GhostConv(Layer):
 
     def __call__(self, p, x):
         c_ = self.c2 // 2
-        y = _conv(p["cv1"], x, k=self.k, stride=self.s)
-        return jnp.concatenate([y, _conv(p["cv2"], y, k=5, groups=c_)], -1)
+        y = _conv(p["cv1"], x, k=self.k, stride=self.s, act=self.act)
+        return jnp.concatenate(
+            [y, _conv(p["cv2"], y, k=5, groups=c_, act=self.act)], -1)
 
 
 @dataclasses.dataclass
@@ -486,11 +491,13 @@ class GhostBottleneck(Layer):
     def __call__(self, p, x):
         c_ = self.c2 // 2
         g1 = GhostConv(self.c1, c_, 1, 1)
-        g2 = GhostConv(c_, self.c2, 1, 1)
+        # pw-linear: the reference builds GhostConv(c_, c2, 1, 1, act=False)
+        # (common.py:230) — no activation anywhere in the second ghost conv
+        g2 = GhostConv(c_, self.c2, 1, 1, act="none")
         y = g1(p["g1"], x)
         if self.s == 2:
             y = _conv(p["dw"], y, k=self.k, stride=2, groups=c_, act="none")
-        y = g2(p["g2"], y)  # act on cv1 only in torch GhostConv(act=False)?
+        y = g2(p["g2"], y)
         if self.s == 2:
             sc = _conv(p["sc_dw"], x, k=self.k, stride=2, groups=self.c1, act="none")
             sc = _conv(p["sc_pw"], sc, k=1, act="none")
@@ -987,6 +994,9 @@ def build_yolo(spec: YoloSpec,
                           args[2] if len(args) > 2 else 1)
             elif cls is GhostConv:
                 lay = cls(c1, c2, args[1] if len(args) > 1 else 1,
+                          args[2] if len(args) > 2 else 1)
+            elif cls is GhostBottleneck:
+                lay = cls(c1, c2, args[1] if len(args) > 1 else 3,
                           args[2] if len(args) > 2 else 1)
             elif cls is Bottleneck:
                 lay = cls(c1, c2, args[1] if len(args) > 1 else True)

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from lpr_tpu.models.yolo import (
+    YoloSpec,
     build_yolo,
     char_ocr_spec,
     load_char_ocr,
@@ -211,3 +212,52 @@ def test_parallel_nms_matches_sequential():
                 suppressed |= (ioun[i] > 0.3) & (np.arange(k) > i)
         want = validn & ~suppressed
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_ghost_modules_match_torch_reference():
+    """Import-parity for GhostConv/GhostBottleneck against the reference
+    torch modules (common.py:211-236).  Round-1 bug: SiLU was applied in the
+    pw-linear second GhostConv of GhostBottleneck (reference uses act=False
+    there); the golden stack covers both s=1 and s=2 bottlenecks."""
+    import os
+
+    from lpr_tpu.models.yolo import GhostBottleneck, GhostConv
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "ghost_golden.npz")
+    z = np.load(path)
+    sd = {k[3:]: z[k] for k in z.files if k.startswith("sd.")}
+    layers = [GhostConv(8, 16, 3, 1),
+              GhostBottleneck(16, 16, 3, 1),
+              GhostBottleneck(16, 24, 5, 2)]
+    params = [l.import_torch(sd, str(i)) for i, l in enumerate(layers)]
+
+    def fwd(params, x):
+        for l, p in zip(layers, params):
+            x = l(p, x)
+        return x
+
+    x = jnp.asarray(np.transpose(z["x"], (0, 2, 3, 1)))  # NCHW -> NHWC
+    y = jax.jit(fwd)(params, x)
+    y_ref = np.transpose(z["y"], (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-5)
+
+
+def test_builder_ghost_bottleneck_args():
+    """The yaml grammar must forward k/s to GhostBottleneck like the
+    reference parse_model (round-1: they were dropped, so stride-2 ghost
+    blocks built as s=1 and failed on the residual add)."""
+    spec = YoloSpec(
+        nc=2, depth_multiple=1.0, width_multiple=1.0,
+        anchors=[[10, 10, 30, 30]],
+        backbone=((-1, 1, "Conv", [16, 3, 2]),
+                  (-1, 1, "GhostConv", [32, 3, 2]),
+                  (-1, 1, "GhostBottleneck", [32, 3, 1]),
+                  (-1, 1, "GhostBottleneck", [64, 3, 2])),
+        head=(([3], 1, "Detect", ["nc", "anchors"]),),
+    )
+    m = build_yolo(spec, strides=(8,))
+    p = m.init(jax.random.PRNGKey(0))
+    pred, _ = jax.jit(lambda p, x: m.apply(p, x))(p, jnp.zeros((1, 64, 64, 3)))
+    assert pred.shape == (1, 128, 7)  # 8x8 cells x 2 anchors, nc=2+5
+    assert np.isfinite(np.asarray(pred)).all()
