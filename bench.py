@@ -2,8 +2,11 @@
 
 Runs the fused recognizer step (plate YOLO @ 1280^2 + top-3 crop/deskew +
 LPSR + 2x char OCR + NMS, one jitted program) on the real TPU with the
-shipped char/LPSR weights (plate-detector weights are a missing blob
-upstream — a same-architecture random init stands in; FLOPs identical).
+shipped char/LPSR weights and the self-trained yolov5s-scale plate detector
+(``checkpoints/demo_plate_s.npz`` — the upstream ``object.pt`` is a missing
+blob; same architecture, real trained weights) over synthetic street frames
+containing plates, so NMS/crop geometry stages see a realistic detection
+distribution.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is vs the 500 fps/chip north-star (BASELINE.md; the reference
@@ -15,13 +18,56 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lpr_tpu_jax_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 import numpy as np
 
 
+def _make_frames(batch: int, steps: int, frame_hw) -> np.ndarray:
+    """One batch of synthetic street frames with 1-3 plates each, tiled over
+    steps (device work per step is identical either way; plates make the
+    detector produce a realistic box distribution for the NMS/crop stages).
+    Falls back to random noise if the synth tool is unavailable."""
+    try:
+        import random
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from synth_plates import random_plate_text, render_frame_with_plates
+
+        rng = random.Random(0)
+        h, w = frame_hw
+        out = np.empty((batch, h, w, 3), np.uint8)
+        for b in range(batch):
+            plates = []
+            for _ in range(rng.randint(1, 3)):
+                two = rng.random() < 0.3
+                pw = rng.randint(90, 220)
+                ph = int(pw * (rng.uniform(0.6, 0.8) if two
+                               else rng.uniform(0.22, 0.35)))
+                x1 = rng.randint(0, w - pw - 1)
+                y1 = rng.randint(0, h - ph - 1)
+                plates.append((random_plate_text(rng, two), two,
+                               (x1, y1, x1 + pw, y1 + ph)))
+            out[b] = render_frame_with_plates((h, w), plates, rng)
+        return np.broadcast_to(out, (steps, *out.shape)).copy()
+    except Exception as e:  # pragma: no cover - synth tool missing
+        print(f"# synth frames unavailable ({e}); using noise", file=sys.stderr)
+        rng = np.random.RandomState(0)
+        return rng.randint(0, 255, (steps, batch, *frame_hw, 3),
+                           dtype=np.uint8)
+
+
 def main():
     import jax
+
+    # the env var alone is not picked up on the axon platform; set the
+    # config explicitly so remote compiles are cached across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from lpr_tpu.models.lpsr import LPSRConfig, load_lpsr, lpsr_init
@@ -44,6 +90,12 @@ def main():
     key = jax.random.PRNGKey(0)
     plate = build_yolo(yolov5_spec(nc=11), strides=(8, 16, 32))
     plate_params = plate.init(key)
+    demo_s = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "checkpoints", "demo_plate_s.npz")
+    if os.path.exists(demo_s):
+        from lpr_tpu.weights.checkpoint import load_params
+
+        plate_params = load_params(demo_s, plate_params)
 
     ref_char = "/root/reference/weights/char.pt"
     ref_lpsr = "/root/reference/weights/best_model.pth"
@@ -66,10 +118,7 @@ def main():
     rec = PlateRecognizer(plate, plate_params, char, char_params,
                           lpsr_params, lpsr_cfg, cfg, char_names=char_names)
 
-    rng = np.random.RandomState(0)
-    frames = jnp.asarray(
-        rng.randint(0, 255, (steps, batch, *frame_hw, 3), dtype=np.uint8)
-    )
+    frames = jnp.asarray(_make_frames(batch, steps, frame_hw))
 
     # NOTE: on the axon remote platform block_until_ready does not
     # synchronize; chain the steps with lax.scan and fetch a scalar so the

@@ -392,3 +392,187 @@ class YoloDataset:
             imgs, labels = zip(*items)
             yield (np.stack(imgs).astype(np.float32) / 255.0,
                    np.stack(labels))
+
+
+# ---------------------------------------------------------------------------
+# Label cache + rectangular (aspect-bucketed) validation batching.
+#
+# Reference: LoadImagesAndLabels caches parsed labels + image shapes in a
+# .cache file keyed by a files hash (datasets.py:418-424, cache_labels
+# :484-507), and rect mode sorts by aspect ratio and letterboxes each batch
+# to a stride-aligned minimal rectangle (:466-483).
+#
+# TPU re-design: the reference's free per-batch shapes would compile one XLA
+# program per batch.  Images are instead bucketed into a small static shape
+# PALETTE (landscape / square / portrait, each stride-aligned and sized by
+# the extreme aspect inside the bucket), so a whole-folder validation runs
+# with at most 3 compiled shapes while still skipping most of the square
+# padding FLOPs.
+
+
+def _files_sig(paths: List[str]) -> str:
+    """Cheap content signature: sizes + mtimes of all files (the reference
+    hashes sizes, get_hash datasets.py:33-36)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for p in paths:
+        try:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{int(st.st_mtime)};".encode())
+        except OSError:
+            h.update(f"{p}:missing;".encode())
+    return h.hexdigest()
+
+
+def scan_labels_cached(
+    img_paths: List[str], label_dir: str, cache_path: Optional[str] = None,
+) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Parsed labels + image (h, w) shapes for every image, via a persistent
+    .cache.npz keyed by the files signature.  Returns (labels list, shapes
+    (N, 2) int array)."""
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in img_paths]
+    label_paths = [os.path.join(label_dir, s + ".txt") for s in stems]
+    if cache_path is None:
+        cache_path = os.path.join(label_dir, ".lpr_labels.cache.npz")
+    sig = _files_sig(img_paths + label_paths)
+    if os.path.exists(cache_path):
+        try:
+            z = np.load(cache_path, allow_pickle=False)
+            if str(z["sig"]) == sig:
+                n = int(z["n"])
+                flat = z["flat"]
+                counts = z["counts"]
+                shapes = z["shapes"]
+                labels, off = [], 0
+                for c in counts:
+                    labels.append(flat[off : off + c].reshape(-1, 5))
+                    off += c
+                assert len(labels) == n
+                return labels, shapes
+        except Exception:
+            pass  # stale/corrupt cache: rescan
+    labels = [load_yolo_labels(lp) for lp in label_paths]
+    shapes = np.zeros((len(img_paths), 2), np.int64)
+    for i, p in enumerate(img_paths):
+        with Image.open(p) as im_:
+            shapes[i] = (im_.height, im_.width)  # header-only read
+    try:
+        np.savez_compressed(
+            cache_path, sig=sig, n=len(labels),
+            flat=(np.concatenate(labels) if labels
+                  and sum(len(l) for l in labels)
+                  else np.zeros((0, 5), np.float32)),
+            counts=np.asarray([len(l) for l in labels], np.int64),
+            shapes=shapes,
+        )
+    except OSError:
+        pass  # read-only dataset dir: run uncached
+    return labels, shapes
+
+
+class YoloValDataset:
+    """Validation loader: letterbox only (no augmentation), label cache,
+    optional rectangular batching via a <=3-shape palette."""
+
+    def __init__(
+        self,
+        img_dir: str,
+        label_dir: Optional[str] = None,
+        imgsz: int = 640,
+        stride: int = 32,
+        pad: float = 0.5,
+        max_labels: int = 64,
+        square_band: float = 1.15,
+    ):
+        """``pad``: extra stride-fractions added to the short side, like the
+        reference's rect pad (datasets.py:483).  ``square_band``: aspect
+        ratios within [1/band, band] go to the square bucket."""
+        self.paths = sorted(
+            os.path.join(img_dir, f) for f in os.listdir(img_dir)
+            if f.lower().endswith(IMG_EXTS)
+        )
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {img_dir}")
+        self.label_dir = label_dir or img_dir.replace("images", "labels")
+        self.imgsz = imgsz
+        self.stride = stride
+        self.pad = pad
+        self.max_labels = max_labels
+        self.square_band = square_band
+        self.labels, self.shapes = scan_labels_cached(
+            self.paths, self.label_dir
+        )
+
+    def __len__(self):
+        return len(self.paths)
+
+    # -- shape palette ---------------------------------------------------
+    def _bucket_shapes(self) -> Tuple[np.ndarray, dict]:
+        """Assign every image a bucket; compute each bucket's static shape
+        from its extreme aspect ratio (stride-aligned, short side capped at
+        imgsz)."""
+        ar = self.shapes[:, 0] / self.shapes[:, 1]  # h / w
+        band = self.square_band
+        bucket = np.where(ar < 1 / band, 0, np.where(ar > band, 2, 1))
+        s, st = self.imgsz, self.stride
+        shapes = {1: (s, s)}
+        if (bucket == 0).any():  # landscape: shrink height to max aspect
+            amax = float(ar[bucket == 0].max())
+            h = min(int(math.ceil((amax * s + self.pad * st) / st)) * st, s)
+            shapes[0] = (h, s)
+        if (bucket == 2).any():  # portrait: shrink width
+            amin = float(ar[bucket == 2].min())
+            w = min(int(math.ceil((s / amin + self.pad * st) / st)) * st, s)
+            shapes[2] = (s, w)
+        return bucket, shapes
+
+    def _sample(self, i: int, hw: Tuple[int, int]
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        img = np.asarray(Image.open(self.paths[i]).convert("RGB"), np.uint8)
+        out, r, (dx, dy) = letterbox_np(img, hw)
+        lab = self.labels[i]
+        padded = np.zeros((self.max_labels, 5), np.float32)
+        n = min(len(lab), self.max_labels)
+        if n:
+            l = lab[:n]
+            h0, w0 = img.shape[:2]
+            oh, ow = hw
+            padded[:n, 0] = l[:, 0]
+            padded[:n, 1] = (l[:, 1] * w0 * r + dx) / ow
+            padded[:n, 2] = (l[:, 2] * h0 * r + dy) / oh
+            padded[:n, 3] = l[:, 3] * w0 * r / ow
+            padded[:n, 4] = l[:, 4] * h0 * r / oh
+        return out, padded
+
+    def batches(self, batch_size: int, rect: bool = True
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Deterministic order (rect batching is shuffle-incompatible, like
+        the reference create_dataloader warning).  With rect=True, images
+        are grouped by palette bucket so every batch has one static shape."""
+        if rect:
+            bucket, shapes = self._bucket_shapes()
+            order = np.argsort(bucket, kind="stable")
+            groups = [(shapes[int(bucket[i])], i) for i in order]
+        else:
+            groups = [((self.imgsz, self.imgsz), i) for i in range(len(self))]
+        i = 0
+        while i < len(groups):
+            hw = groups[i][0]
+            idxs = []
+            while i < len(groups) and len(idxs) < batch_size \
+                    and groups[i][0] == hw:
+                idxs.append(groups[i][1])
+                i += 1
+            # pad the tail batch to the full batch size (static shapes)
+            real = len(idxs)
+            while len(idxs) < batch_size:
+                idxs.append(idxs[-1])
+            items = [self._sample(j, hw) for j in idxs]
+            imgs, labels = zip(*items)
+            imgs = np.stack(imgs).astype(np.float32) / 255.0
+            labels = np.stack(labels)
+            if real < batch_size:  # blank the pad rows' labels + images
+                imgs[real:] = 0.0
+                labels[real:] = 0.0
+            yield imgs, labels, real

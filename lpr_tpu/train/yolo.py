@@ -255,10 +255,14 @@ def validate_map(
                            multi_label=True, agnostic=False)
 
     ev = DetectionEvaluator()
-    for images, labels in batches:
+    for batch in batches:
+        # rect val batches carry a real-count third element (pad rows are
+        # blank images that must not enter the evaluator)
+        images, labels = batch[0], batch[1]
+        n_real = batch[2] if len(batch) > 2 else images.shape[0]
         h, w = images.shape[1:3]
         det = jax.device_get(step(params, jnp.asarray(images)))
-        for i in range(images.shape[0]):
+        for i in range(n_real):
             n = int(det["count"][i])
             lab = np.asarray(labels[i])
             lab = lab[lab[:, 3] > 0]

@@ -54,17 +54,28 @@ def main():
     ap.add_argument("--imgsz", type=int, default=320)
     ap.add_argument("--lr0", type=float, default=0.01)
     ap.add_argument("--out", default="checkpoints/demo_plate.npz")
+    ap.add_argument("--size", default="n", choices=list("nsmlx"),
+                    help="yolov5 scale preset (bench uses s)")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="force a jax platform (the axon plugin ignores "
+                    "JAX_PLATFORM* env vars; only jax.config works)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lpr_tpu_jax_cache")
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from lpr_tpu.models.yolo import build_yolo, yolov5_spec
     from lpr_tpu.train.yolo import YoloTrainConfig, YoloTrainer, validate_map
     from lpr_tpu.weights.checkpoint import save_params
 
-    model = build_yolo(yolov5_spec(nc=11, depth=0.33, width=0.25),
+    from lpr_tpu.models.yolo import _SIZE_PRESETS
+
+    depth, width = _SIZE_PRESETS[args.size]
+    model = build_yolo(yolov5_spec(nc=11, depth=depth, width=width),
                        strides=(8, 16, 32))
     trainer = YoloTrainer(
         model,
