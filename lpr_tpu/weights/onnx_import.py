@@ -118,8 +118,49 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     return name, arr
 
 
+def _parse_attribute(buf: bytes) -> Tuple[str, Any]:
+    """AttributeProto -> (name, value).  Supports INT/FLOAT/STRING/INTS/
+    FLOATS/TENSOR (the types the zoo's graphs use)."""
+    name, atype = "", 0
+    i_val, f_val, s_val, t_val = 0, 0.0, b"", None
+    ints: List[int] = []
+    floats: List[float] = []
+    for field, wt, v in _fields(buf):
+        if field == 1 and wt == 2:
+            name = v.decode("utf-8", "replace")
+        elif field == 2 and wt == 5:
+            f_val = struct.unpack("<f", v)[0]
+        elif field == 3 and wt == 0:
+            i_val = _signed64(v)
+        elif field == 4 and wt == 2:
+            s_val = v
+        elif field == 5 and wt == 2:
+            t_val = _parse_tensor(v)[1]
+        elif field == 7:  # floats (packed or repeated)
+            if wt == 2:
+                floats.extend(struct.unpack(f"<{len(v)//4}f", v))
+            else:
+                floats.append(struct.unpack("<f", v)[0])
+        elif field == 8:  # ints
+            if wt == 2:
+                i = 0
+                while i < len(v):
+                    d, i = _read_varint(v, i)
+                    ints.append(_signed64(d))
+            else:
+                ints.append(_signed64(v))
+        elif field == 20 and wt == 0:
+            atype = v
+    value = {1: f_val, 2: i_val, 3: s_val.decode("utf-8", "replace"),
+             4: t_val, 6: floats, 7: ints}.get(atype)
+    if value is None:  # untyped writer: infer from populated field
+        value = ints or floats or i_val
+    return name, value
+
+
 def _parse_node(buf: bytes) -> Dict[str, Any]:
-    node = {"inputs": [], "outputs": [], "op_type": "", "name": ""}
+    node = {"inputs": [], "outputs": [], "op_type": "", "name": "",
+            "attrs": {}}
     for field, wt, v in _fields(buf):
         if field == 1 and wt == 2:
             node["inputs"].append(v.decode("utf-8", "replace"))
@@ -129,6 +170,9 @@ def _parse_node(buf: bytes) -> Dict[str, Any]:
             node["name"] = v.decode("utf-8", "replace")
         elif field == 4 and wt == 2:
             node["op_type"] = v.decode("utf-8", "replace")
+        elif field == 5 and wt == 2:
+            k, val = _parse_attribute(v)
+            node["attrs"][k] = val
     return node
 
 

@@ -101,3 +101,45 @@ def test_cli_find_improvement(tmp_path):
     found = os.listdir(out) if os.path.exists(out) else []
     # at least one of the 6 plates must qualify as a convincing improvement
     assert found, "no improvement panels produced"
+
+
+def test_cli_export_onnx_roundtrip(tmp_path):
+    """export CLI (reference my_utils/export_onnx.py surface): sr -> onnx,
+    re-importable with exact weights."""
+    import jax
+    import numpy as np
+
+    from lpr_tpu.cli.export import main
+    from lpr_tpu.models.lpsr import load_lpsr, lpsr_init
+    from lpr_tpu.weights.checkpoint import save_params
+
+    src = lpsr_init(jax.random.PRNGKey(2))
+    npz = str(tmp_path / "w.npz")
+    save_params(npz, src)
+    out = str(tmp_path / "model.onnx")
+    main(["--model-type", "sr", "--weights", npz, "--output", out])
+    p2 = load_lpsr(out)
+    for a, b in zip(jax.tree.leaves(src), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_export_ocr_stablehlo(tmp_path):
+    """detection/ocr export goes through the stablehlo path and the loaded
+    artifact must execute."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    pytest.importorskip("jax.export")
+    if not os.path.exists("/root/reference/weights/char.pt"):
+        pytest.skip("reference weights not mounted")
+    from lpr_tpu.cli.export import main
+    from lpr_tpu.weights.export_stablehlo import load_fn
+
+    out = str(tmp_path / "ocr.shlo")
+    main(["--model-type", "ocr", "--weights",
+          "/root/reference/weights/char.pt", "--output", out,
+          "--format", "stablehlo", "--size", "64", "64"])
+    fn = load_fn(out)
+    y = fn(jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert np.isfinite(np.asarray(y)).all()
