@@ -1180,7 +1180,34 @@ def apply_augmented(model: YoloModel, params, x):
     return jnp.concatenate(preds, axis=1)
 
 
-def load_yolo_torch(path: str, fuse: bool = True):
+class YoloEnsemble:
+    """NMS-ensemble of YOLO models: decoded detections concatenated along
+    the box dimension, then one NMS pass (reference Ensemble.forward,
+    ``models/experimental.py:89-99`` — the active ``torch.cat(y, 1)``
+    branch).  Apply-compatible with :class:`YoloModel` for inference."""
+
+    def __init__(self, models):
+        assert len(models) >= 2
+        assert len({m.nc for m in models}) == 1, "ensemble nc mismatch"
+        self.models = list(models)
+        self.nc = models[0].nc
+        # letterbox alignment uses the coarsest stride (attempt_load:117)
+        self.stride = max((max(m.strides) for m in models))
+        self.strides = max((m.strides for m in models), key=max)
+
+    def init(self, key):
+        import jax
+
+        return [m.init(k) for m, k in
+                zip(self.models, jax.random.split(key, len(self.models)))]
+
+    def apply(self, params_list, x, decode: bool = True, train: bool = False):
+        assert decode and not train, "ensembles are inference-only"
+        preds = [m.apply(p, x)[0] for m, p in zip(self.models, params_list)]
+        return jnp.concatenate(preds, axis=1), None
+
+
+def load_yolo_torch(path, fuse: bool = True):
     """Generic ``attempt_load`` equivalent: reconstruct ANY YOLOv5 ``.pt``
     from its embedded architecture yaml (without executing pickle code) and
     import its weights.
@@ -1189,8 +1216,21 @@ def load_yolo_torch(path: str, fuse: bool = True):
     checkpoint's own yaml (reference Model.__init__ path, yolo.py:84-121);
     anchors come from the Detect buffer (AutoAnchor-evolved values survive),
     strides from the saved stride tensor.
+
+    ``path`` may be a list of checkpoints (reference
+    ``attempt_load(weights=[a, b, ...])``): returns a :class:`YoloEnsemble`,
+    a list of per-model params, and the LAST checkpoint (whose names the
+    reference adopts, experimental.py:115).
     """
     from lpr_tpu.weights.torch_ckpt import YoloCheckpoint
+
+    if isinstance(path, (list, tuple)):
+        if len(path) == 1:
+            return load_yolo_torch(path[0], fuse=fuse)
+        loaded = [load_yolo_torch(p, fuse=fuse) for p in path]
+        models = [m for m, _, _ in loaded]
+        return (YoloEnsemble(models), [p for _, p, _ in loaded],
+                loaded[-1][2])
 
     ck = YoloCheckpoint(path)
     if not ck.yaml.get("backbone"):

@@ -76,12 +76,18 @@ def nms_single(
     multi_label: bool = True,
     agnostic: bool = True,
     class_mask: Optional[jax.Array] = None,
+    merge: bool = False,
+    redundant: bool = True,
 ) -> dict:
     """NMS for one image.
 
     pred: (N, 5+nc) raw decoded predictions (xywh px, obj, cls probs).
     class_mask: optional (nc,) bool — keep only these classes (the
     reference's ``classes=`` filter).
+    merge: weighted-box-merge NMS (reference general.py:755-763): each kept
+    box becomes the score-weighted mean of all candidates overlapping it
+    above ``iou_thres``; with ``redundant`` (reference default), kept boxes
+    supported by no other candidate are dropped.
 
     Returns dict of fixed-shape arrays:
       boxes (max_det, 4) xyxy, scores (max_det,), classes (max_det,) int32,
@@ -131,6 +137,18 @@ def nms_single(
     iou = box_iou(shifted, shifted)
     keep = _greedy_suppress(iou, valid, iou_thres)
 
+    if merge:
+        # weighted box merge (general.py:755-763): weights over ALL valid
+        # candidates from the class-offset IoU matrix; merged coords use the
+        # un-shifted boxes.  Self-IoU is 1, so every valid kept row has a
+        # positive weight sum.
+        overlap = jnp.logical_and(iou > iou_thres, valid[None, :])
+        w = overlap.astype(f32) * jnp.where(valid, top_scores, 0.0)[None, :]
+        merged = (w @ boxes) / jnp.maximum(w.sum(-1, keepdims=True), 1e-12)
+        boxes = jnp.where(keep[:, None], merged, boxes)
+        if redundant:  # require a second supporting candidate
+            keep = jnp.logical_and(keep, overlap.sum(-1) > 1)
+
     # compact kept detections to the front, preserving score order
     order = jnp.argsort(jnp.where(keep, -top_scores, jnp.inf))
     order = order[:max_det]
@@ -153,6 +171,8 @@ def nms_batched(
     multi_label: bool = True,
     agnostic: bool = True,
     class_mask: Optional[jax.Array] = None,
+    merge: bool = False,
+    redundant: bool = True,
 ) -> dict:
     """Batched NMS: pred (B, N, 5+nc) -> dict of (B, max_det, ...) arrays."""
     fn = functools.partial(
@@ -163,6 +183,8 @@ def nms_batched(
         pre_topk=pre_topk,
         multi_label=multi_label,
         agnostic=agnostic,
+        merge=merge,
+        redundant=redundant,
     )
     if class_mask is not None:
         return jax.vmap(lambda p: fn(p, class_mask=class_mask))(pred)

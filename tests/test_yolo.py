@@ -261,3 +261,61 @@ def test_builder_ghost_bottleneck_args():
     pred, _ = jax.jit(lambda p, x: m.apply(p, x))(p, jnp.zeros((1, 64, 64, 3)))
     assert pred.shape == (1, 128, 7)  # 8x8 cells x 2 anchors, nc=2+5
     assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_merge_nms_weighted_boxes():
+    """Merge-NMS (general.py:755-763): kept box = score-weighted mean of all
+    overlapping candidates; redundant drops unsupported singletons."""
+    # cluster A: two overlapping boxes; cluster B: one isolated box
+    preds = np.zeros((3, 6), np.float32)  # xywh, obj, 1 class
+    preds[0] = [50, 50, 20, 20, 0.9, 1.0]
+    preds[1] = [52, 52, 20, 20, 0.6, 1.0]
+    preds[2] = [150, 150, 20, 20, 0.8, 1.0]
+    out = jax.jit(lambda p: nms_single(
+        p, conf_thres=0.1, iou_thres=0.45, max_det=4, pre_topk=3,
+        multi_label=False, agnostic=True, merge=True, redundant=False,
+    ))(jnp.asarray(preds))
+    n = int(out["count"])
+    boxes = np.asarray(out["boxes"])[:n]
+    scores = np.asarray(out["scores"])[:n]
+    # cluster A keeps one box: weighted mean of boxes 0 and 1
+    b0 = np.array([40, 40, 60, 60], np.float32)
+    b1 = np.array([42, 42, 62, 62], np.float32)
+    want = (0.9 * b0 + 0.6 * b1) / 1.5
+    got_a = boxes[np.argmax(scores)]
+    np.testing.assert_allclose(got_a, want, atol=1e-3)
+    # isolated cluster B survives without redundancy...
+    assert n == 2
+    # ...but is dropped when redundant=True (reference default)
+    out_r = jax.jit(lambda p: nms_single(
+        p, conf_thres=0.1, iou_thres=0.45, max_det=4, pre_topk=3,
+        multi_label=False, agnostic=True, merge=True, redundant=True,
+    ))(jnp.asarray(preds))
+    assert int(out_r["count"]) == 1
+
+
+@requires_ref
+def test_ensemble_load_and_nms_concat():
+    """attempt_load([a, b]) equivalent: detections concatenated along the
+    box dim (experimental.py:89-99); a duplicate-model ensemble must NMS to
+    the single-model detections."""
+    from lpr_tpu.models.yolo import YoloEnsemble, load_yolo_torch
+
+    single, sp, ck1 = load_yolo_torch(REF_CHAR)
+    ens, eps, ck2 = load_yolo_torch([REF_CHAR, REF_CHAR])
+    assert isinstance(ens, YoloEnsemble)
+    assert ck2.names == ck1.names
+    assert ens.stride == max(single.strides)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32))
+    p1, _ = jax.jit(lambda p, v: single.apply(p, v))(sp, x)
+    pe, _ = jax.jit(lambda p, v: ens.apply(p, v))(eps, x)
+    assert pe.shape[1] == 2 * p1.shape[1]
+    d1 = jax.jit(lambda p: nms_batched(p, 0.1, 0.45, max_det=8,
+                                       pre_topk=64))(p1)
+    de = jax.jit(lambda p: nms_batched(p, 0.1, 0.45, max_det=8,
+                                       pre_topk=64))(pe)
+    assert int(d1["count"][0]) == int(de["count"][0])
+    n = int(d1["count"][0])
+    np.testing.assert_allclose(np.asarray(d1["boxes"][0][:n]),
+                               np.asarray(de["boxes"][0][:n]), atol=1e-3)
