@@ -42,6 +42,16 @@ class ServerStats:
     batches: int = 0
     frames_padded: int = 0
     total_latency_s: float = 0.0
+    # bounded reservoir of recent per-request latencies for percentiles
+    latencies_s: list = dataclasses.field(default_factory=list)
+    max_latencies: int = 100_000
+    started_s: float = dataclasses.field(default_factory=time.perf_counter)
+
+    def record(self, latency_s: float) -> None:
+        self.requests += 1
+        self.total_latency_s += latency_s
+        if len(self.latencies_s) < self.max_latencies:
+            self.latencies_s.append(latency_s)
 
     @property
     def mean_batch(self) -> float:
@@ -50,6 +60,31 @@ class ServerStats:
     @property
     def mean_latency_ms(self) -> float:
         return 1000.0 * self.total_latency_s / max(self.requests, 1)
+
+    def latency_ms(self, pct: float) -> float:
+        """Latency percentile (e.g. 50, 99) over recorded requests."""
+        if not self.latencies_s:
+            return 0.0
+        xs = sorted(self.latencies_s)
+        i = min(int(round(pct / 100.0 * (len(xs) - 1))), len(xs) - 1)
+        return 1000.0 * xs[i]
+
+    @property
+    def throughput_fps(self) -> float:
+        dt = time.perf_counter() - self.started_s
+        return self.requests / dt if dt > 0 else 0.0
+
+    def summary(self) -> dict:
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "mean_batch": round(self.mean_batch, 2),
+            "frames_padded": self.frames_padded,
+            "throughput_fps": round(self.throughput_fps, 2),
+            "latency_ms_mean": round(self.mean_latency_ms, 2),
+            "latency_ms_p50": round(self.latency_ms(50), 2),
+            "latency_ms_p99": round(self.latency_ms(99), 2),
+        }
 
 
 class InferenceServer:
@@ -112,6 +147,15 @@ class InferenceServer:
     def infer(self, frame: np.ndarray):
         return self.submit(frame).result()
 
+    def submit_many(self, frames: np.ndarray) -> List[Future]:
+        """(B, H, W, 3) uint8 -> one future per frame.  Frames enter the same
+        dynamic-batching queue, so concurrent clients' frames coalesce into
+        full device batches (Triton max_batch semantics)."""
+        return [self.submit(f) for f in np.asarray(frames)]
+
+    def infer_many(self, frames: np.ndarray):
+        return [f.result() for f in self.submit_many(frames)]
+
     # ------------------------------------------------------------------
     def _collect(self) -> List:
         """Block for one item, then fill the batch within the delay window."""
@@ -153,6 +197,5 @@ class InferenceServer:
             self.stats.batches += 1
             self.stats.frames_padded += pad
             for (frame, fut, t0), res in zip(items, results[:n]):
-                self.stats.requests += 1
-                self.stats.total_latency_s += now - t0
+                self.stats.record(now - t0)
                 fut.set_result(res)

@@ -111,3 +111,49 @@ def test_http_frontend():
             assert "sr" not in out[0]
         finally:
             fe.stop()
+
+
+def test_server_batched_submit_and_stats_percentiles():
+    rec = FakeRecognizer()
+    with InferenceServer(rec, ServeConfig(max_batch=4, max_delay_ms=20.0)) as srv:
+        frames = np.zeros((8, 8, 8, 3), np.uint8)
+        results = srv.infer_many(frames)
+    assert len(results) == 8 and all(len(r) == 1 for r in results)
+    s = srv.stats.summary()
+    assert s["requests"] == 8
+    assert s["latency_ms_p50"] > 0
+    assert s["latency_ms_p99"] >= s["latency_ms_p50"]
+    assert s["throughput_fps"] > 0
+
+
+def test_http_infer_batch_and_stats_routes():
+    from lpr_tpu.serve.http import HttpFrontend
+
+    rec = FakeRecognizer()
+    with InferenceServer(rec, ServeConfig(max_batch=4, max_delay_ms=5.0)) as srv:
+        fe = HttpFrontend(srv, port=0).start()
+        try:
+            url = f"http://127.0.0.1:{fe.port}"
+            buf = io.BytesIO()
+            np.save(buf, np.zeros((3, 8, 8, 3), np.uint8))
+            req = urllib.request.Request(
+                url + "/v2/models/pipeline/infer_batch", data=buf.getvalue())
+            with urllib.request.urlopen(req) as r:
+                out = json.loads(r.read())
+            assert len(out) == 3 and out[0][0]["text"] == "T0"
+            with urllib.request.urlopen(url + "/v2/stats") as r:
+                stats = json.loads(r.read())
+            assert stats["requests"] == 3
+            assert "latency_ms_p99" in stats
+            # wrong rank must 400, not kill the server
+            buf2 = io.BytesIO()
+            np.save(buf2, np.zeros((8, 8, 3), np.uint8))
+            req2 = urllib.request.Request(
+                url + "/v2/models/pipeline/infer_batch", data=buf2.getvalue())
+            try:
+                urllib.request.urlopen(req2)
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            fe.stop()
