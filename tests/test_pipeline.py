@@ -113,6 +113,23 @@ def test_pipeline_smoke(tiny_recognizer):
             assert isinstance(p["text"], str)
 
 
+def test_pipeline_frozen_step_matches_arg_step(tiny_recognizer):
+    """The frozen-weights program (freeze_params, the serving default) must
+    produce exactly what the params-as-args program produces."""
+    rec = tiny_recognizer
+    frames = jnp.asarray(
+        (np.random.RandomState(3).rand(2, 240, 320, 3) * 255).astype(np.uint8))
+    o_arg = jax.device_get(rec._step(rec.params, frames))
+    o_frz = jax.device_get(rec._step_frozen(frames))
+    np.testing.assert_allclose(o_arg["plate_boxes"], o_frz["plate_boxes"],
+                               atol=1e-5)
+    np.testing.assert_array_equal(o_arg["plate_valid"], o_frz["plate_valid"])
+    np.testing.assert_allclose(np.asarray(o_arg["sr"]),
+                               np.asarray(o_frz["sr"]), atol=1e-5)
+    np.testing.assert_array_equal(o_arg["chars_sr"]["classes"],
+                                  o_frz["chars_sr"]["classes"])
+
+
 def test_pipeline_dp_mesh_matches_single():
     """Batch-sharded pipeline over the 8-device CPU mesh must match the
     unsharded pipeline exactly."""
