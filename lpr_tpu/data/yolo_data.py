@@ -48,6 +48,7 @@ class YoloAugConfig:
     fliplr: float = 0.5
     mosaic: float = 1.0
     use_mosaic9: bool = False
+    copy_paste: float = 0.0  # reference hyp.scratch-low.yaml copy_paste: 0.0
 
 
 def load_yolo_labels(path: str) -> np.ndarray:
@@ -162,6 +163,64 @@ def random_perspective(
             [labels_px[keep, :1], new[keep]], 1
         )
     return warped, labels_px
+
+
+def bbox_ioa(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Intersection of ``box`` with each of ``boxes`` over the AREA of
+    ``boxes`` (reference utils/metrics.py:222-242 ``bbox_ioa``)."""
+    if len(boxes) == 0:
+        return np.zeros((0,), np.float32)
+    ix = (np.minimum(box[2], boxes[:, 2]) - np.maximum(box[0], boxes[:, 0])
+          ).clip(0)
+    iy = (np.minimum(box[3], boxes[:, 3]) - np.maximum(box[1], boxes[:, 1])
+          ).clip(0)
+    area = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            + 1e-16)
+    return ix * iy / area
+
+
+def copy_paste(img, labels_px, rng: random.Random, p: float = 0.5,
+               segments: Optional[List[np.ndarray]] = None):
+    """Instance copy-paste by horizontal mirroring
+    (reference augmentations.py:224-241 / arXiv:2012.07177).
+
+    For round(p*n) randomly chosen instances, the left-right mirror of the
+    instance is pasted back into the image when its mirrored box obscures
+    every existing label by <30% IoA; the mirrored label is appended.
+    ``segments`` (per-instance (k, 2) polygons, the upstream source of the
+    pasted mask) are honored when given; with box-only labels (this
+    pipeline's dataset format) the instance's box rectangle is the mask.
+    """
+    n = len(labels_px)
+    if not p or not n:
+        return img, labels_px
+    h, w = img.shape[:2]
+    mask = np.zeros((h, w), bool)
+    new_rows = []
+    for j in rng.sample(range(n), k=round(p * n)):
+        l = labels_px[j]
+        box = np.array([w - l[3], l[2], w - l[1], l[4]], np.float32)
+        if (bbox_ioa(box, labels_px[:, 1:5]) < 0.30).all():
+            new_rows.append([l[0], *box])
+            if segments is not None and segments[j] is not None:
+                from PIL import ImageDraw
+
+                m = Image.new("1", (w, h), 0)
+                ImageDraw.Draw(m).polygon(
+                    [tuple(pt) for pt in segments[j]], fill=1)
+                mask |= np.asarray(m, bool)
+            else:
+                y1, y2 = int(round(l[2])), int(round(l[4]))
+                x1, x2 = int(round(l[1])), int(round(l[3]))
+                mask[max(y1, 0):max(y2, 0), max(x1, 0):max(x2, 0)] = True
+    if new_rows:
+        flipped = (img * mask[..., None])[:, ::-1]
+        sel = flipped > 0  # per-channel replace, as the reference does
+        img = img.copy()
+        img[sel] = flipped[sel]
+        labels_px = np.concatenate(
+            [labels_px, np.asarray(new_rows, np.float32)], 0)
+    return img, labels_px
 
 
 def mixup(img1, labels1, img2, labels2, rng: random.Random):
@@ -337,6 +396,10 @@ class YoloDataset:
                 )
             else:
                 img, labels_px = self._mosaic4(i)
+                # reference order: copy_paste inside load_mosaic, before
+                # the perspective warp (datasets.py:684)
+                img, labels_px = copy_paste(img, labels_px, self.rng,
+                                            p=self.aug.copy_paste)
                 img, labels_px = random_perspective(
                     img, labels_px, self.rng, self.aug,
                     border=(-oh // 2, -ow // 2),

@@ -158,3 +158,50 @@ def test_yolo_dataset_transform_hook(img_tree):
                      img_hw=(64, 64), augment=True, transform=hook)
     ds.get(0)
     assert calls
+
+
+def test_copy_paste_mirrors_instances():
+    """copy_paste pastes the horizontal mirror of an instance and appends
+    the mirrored label when IoA vs existing labels < 0.30
+    (reference augmentations.py:224-241)."""
+    import random
+
+    from lpr_tpu.data.yolo_data import bbox_ioa, copy_paste
+
+    img = np.zeros((40, 100, 3), np.uint8)
+    img[10:20, 5:25] = 200  # bright instance on the left
+    labels = np.array([[2, 5, 10, 25, 20]], np.float32)
+    out, new_labels = copy_paste(img, labels, random.Random(0), p=1.0)
+    assert len(new_labels) == 2
+    # mirrored box: (100-25, 10, 100-5, 20)
+    np.testing.assert_allclose(new_labels[1], [2, 75, 10, 95, 20])
+    # mirrored pixels pasted; originals untouched
+    assert (out[10:20, 75:95] == 200).all()
+    assert (out[10:20, 5:25] == 200).all()
+    # ioa blocks pasting when the mirror overlaps an existing instance
+    mid = np.array([[0, 40, 10, 60, 20]], np.float32)
+    out2, l2 = copy_paste(img, mid, random.Random(0), p=1.0)
+    assert len(l2) == 1 and (out2 == img).all()
+    # bbox_ioa basics
+    ioa = bbox_ioa(np.array([0, 0, 10, 10], np.float32),
+                   np.array([[5, 5, 15, 15]], np.float32))
+    np.testing.assert_allclose(ioa, [0.25])
+
+
+def test_copy_paste_with_segments():
+    """Polygon segments restrict the pasted mask to the instance shape."""
+    import random
+
+    from lpr_tpu.data.yolo_data import copy_paste
+
+    img = np.zeros((40, 100, 3), np.uint8)
+    img[10:31, 10:31] = 200  # bright square instance
+    labels = np.array([[1, 10, 10, 30, 30]], np.float32)
+    tri = np.array([[10, 10], [30, 10], [10, 30]], np.float32)
+    out, new_labels = copy_paste(img, labels, random.Random(0), p=1.0,
+                                 segments=[tri])
+    assert len(new_labels) == 2
+    # inside the mirrored triangle: instance pixels pasted
+    assert (out[12, 100 - 12 - 1] == 200).all()
+    # inside the mirrored box but outside the triangle: background stays
+    assert (out[28, 100 - 28 - 1] == 0).all()
