@@ -118,7 +118,8 @@ def main():
         lpsr_params = lpsr_init(key, lpsr_cfg)
         char_names = None
 
-    cfg = PipelineConfig(det_hw=(det_h, det_w), dtype=jnp.bfloat16)
+    cfg = PipelineConfig(det_hw=(det_h, det_w), dtype=jnp.bfloat16,
+                         int8_detector=os.environ.get("BENCH_INT8") == "1")
     rec = PlateRecognizer(plate, plate_params, char, char_params,
                           lpsr_params, lpsr_cfg, cfg, char_names=char_names)
 

@@ -80,8 +80,20 @@ _BN_EPS = 1e-3
 
 
 def _conv(p, x, *, k, stride=1, pad=None, groups=1, act="silu"):
-    """Conv(+BN)+act — reference Conv (common.py:37-49)."""
+    """Conv(+BN)+act — reference Conv (common.py:37-49).
+
+    When ``p`` carries int8-quantized weights (``w_q``/``w_s``, produced by
+    :func:`quantize_yolo`; BN pre-folded) the conv runs on the int8 MXU
+    path (:func:`lpr_tpu.ops.nn.conv2d_int8`)."""
     padding = k // 2 if pad is None else pad
+    if "w_q" in p:
+        y = tnn.conv2d_int8(x, p["w_q"], p["w_s"], p.get("b"),
+                            stride=stride, padding=padding, groups=groups)
+        if act == "silu":
+            return tnn.silu(y)
+        if act == "leaky":
+            return tnn.leaky_relu(y, 0.1)
+        return y
     y = tnn.conv2d(x, p["w"], p.get("b"), stride=stride, padding=padding, groups=groups)
     if "bn" in p:
         bn = p["bn"]
@@ -946,6 +958,63 @@ class YoloModel:
             return y
         new_params = _update_bn_tree(params, ctx)
         return y, new_params
+
+
+def quantize_yolo(model: YoloModel, params: List[Params],
+                  min_contract: int = 64) -> List[Params]:
+    """Post-training int8 quantization of a detector's conv weights.
+
+    Returns a params pytree where every eligible conv dict is replaced by
+    ``{"w_q": int8 HWIO, "w_s": (Cout,) f32, "b": f32}`` — dispatched to the
+    int8 MXU path by ``_conv``; activations are quantized dynamically per
+    tensor at run time (no calibration pass).  BN is folded into the
+    quantized weights (inference-only transform: the result cannot be
+    trained).  Skipped, staying in bf16/f32:
+
+    - the Detect head 1x1 convs (decode precision);
+    - S2D-transformed stem convs (their weights are rearranged in apply);
+    - depthwise convs (VPU work, nothing to gain on the MXU);
+    - convs whose contraction K = kh*kw*Cin/groups < ``min_contract``
+      (lane-starved on the MXU either way).
+
+    The reference has no quantized path (its Triton configs run fp32 ONNX);
+    this is the TPU-native equivalent of a TensorRT int8 deployment.
+    """
+
+    def quant_dict(p: Dict[str, Any]) -> Dict[str, Any]:
+        w = np.asarray(p["w"], np.float32)
+        b = None if p.get("b") is None else np.asarray(p["b"], np.float32)
+        if "bn" in p:
+            bn = p["bn"]
+            w, b = tnn.fuse_conv_bn(
+                w, b, np.asarray(bn["gamma"]), np.asarray(bn["beta"]),
+                np.asarray(bn["mean"]), np.asarray(bn["var"]), eps=_BN_EPS)
+        wq, ws = tnn.quantize_conv_weight(w)
+        out = {"w_q": wq, "w_s": ws}
+        if b is not None:
+            out["b"] = jnp.asarray(b, jnp.float32)
+        return out
+
+    def eligible(w) -> bool:
+        kh, kw, cig, _ = w.shape
+        return cig > 1 and kh * kw * cig >= min_contract
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node and hasattr(node["w"], "ndim") and node["w"].ndim == 4:
+                return quant_dict(node) if eligible(node["w"]) else dict(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    out: List[Params] = []
+    for layer, p in zip(model.layers, params):
+        skip = isinstance(layer, Detect) or (
+            isinstance(layer, Conv)
+            and (layer._is_s2d_stem() or layer._is_s2d_down()))
+        out.append(p if skip else walk(p))
+    return out
 
 
 def build_yolo(spec: YoloSpec,

@@ -72,6 +72,11 @@ class PipelineConfig:
     # (run.py:197,207).  False = SR-only OCR: halves the char-model work for
     # throughput serving where only the enhanced reading matters.
     ocr_on_original: bool = True
+    # int8-quantize the plate detector's conv stack (models.yolo.quantize_yolo:
+    # dynamic per-tensor activation quant, per-channel int8 weights, BN
+    # folded; Detect head stays float).  The int8 MXU path is 2x the bf16
+    # peak on v5e; detection parity is within quant noise (see tests).
+    int8_detector: bool = False
     # Freeze the weights into the compiled program as constants (the serving
     # "frozen graph" pattern).  XLA then specializes weight layouts at
     # compile time instead of re-laying them out every step — measured
@@ -126,6 +131,10 @@ class PlateRecognizer:
         mask = np.zeros((plate_model.nc,), bool)
         mask[list(plate_class_ids)] = True
         self.plate_mask = jnp.asarray(mask)
+        if cfg.int8_detector:
+            from lpr_tpu.models.yolo import quantize_yolo
+
+            plate_params = quantize_yolo(plate_model, plate_params)
         self.params = {
             "plate": plate_params,
             "char": char_params,

@@ -233,3 +233,32 @@ def test_pipeline_sr_only_ocr_mode():
         for p in plates:
             assert p["text"] == ""  # no original-path OCR in this mode
             assert isinstance(p["text_sr"], str)
+
+
+def test_pipeline_int8_detector_close_to_float(tiny_recognizer):
+    """int8_detector mode finds the same plates with near-identical geometry
+    (dynamic-quant detection drift stays within a few px)."""
+    from lpr_tpu.models.lpsr import LPSRConfig, lpsr_init
+    from lpr_tpu.models.yolo import build_yolo, yolov5_spec
+
+    base = tiny_recognizer
+    cfg = PipelineConfig(det_hw=(320, 320), det_conf=0.001, ocr_conf=0.9,
+                         dtype=jnp.float32, int8_detector=True)
+    plate = build_yolo(yolov5_spec(nc=11, depth=0.33, width=0.25),
+                       strides=(8, 16, 32))
+    char = build_yolo(yolov5_spec(nc=36, depth=0.33, width=0.25),
+                      strides=(8, 16, 32))
+    key = jax.random.PRNGKey(0)
+    lpsr_cfg = LPSRConfig()
+    rec_q = PlateRecognizer(plate, plate.init(key), char, char.init(key),
+                            lpsr_init(key, lpsr_cfg), lpsr_cfg, cfg)
+    frames = jnp.asarray(
+        (np.random.RandomState(0).rand(2, 240, 320, 3) * 255).astype(np.uint8))
+    o_f = jax.device_get(base.step_raw(frames))
+    o_q = jax.device_get(rec_q.step_raw(frames))
+    # same number of plates kept, geometry within quantization drift
+    np.testing.assert_array_equal(o_f["plate_valid"], o_q["plate_valid"])
+    sel = o_f["plate_valid"]
+    if sel.any():
+        d = np.abs(o_f["plate_boxes"][sel] - o_q["plate_boxes"][sel])
+        assert d.max() < 6.0, d.max()

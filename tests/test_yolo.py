@@ -319,3 +319,47 @@ def test_ensemble_load_and_nms_concat():
     n = int(d1["count"][0])
     np.testing.assert_allclose(np.asarray(d1["boxes"][0][:n]),
                                np.asarray(de["boxes"][0][:n]), atol=1e-3)
+
+
+def test_conv2d_int8_close_to_f32():
+    """Dynamic int8 conv matches the f32 conv within 8-bit quant error."""
+    import lpr_tpu.ops.nn as tnn
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 32, 48) * 0.05).astype(np.float32))
+    b = jnp.asarray(rng.randn(48).astype(np.float32) * 0.1)
+    ref = tnn.conv2d(x, w, b, stride=1, padding="same")
+    wq, ws = tnn.quantize_conv_weight(w)
+    out = tnn.conv2d_int8(x, wq, ws, b, stride=1, padding="same")
+    err = float(jnp.max(jnp.abs(out - ref)))
+    scale_mag = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert err / scale_mag < 0.02, (err, scale_mag)
+
+
+def test_quantize_yolo_preds_close_and_structure():
+    """quantize_yolo swaps eligible convs to int8 (BN folded), keeps the
+    Detect head float, and preserves detection outputs within quant error."""
+    from lpr_tpu.models.yolo import Detect, build_yolo, quantize_yolo, yolov5_spec
+
+    model = build_yolo(yolov5_spec(nc=4, depth=0.33, width=0.25),
+                       strides=(8, 16, 32))
+    key = jax.random.PRNGKey(0)
+    params = model.init(key)
+    qparams = quantize_yolo(model, params)
+
+    # structure: detect head untouched; some convs quantized
+    assert "w" in qparams[-1]["m"][0] and "w_q" not in str(type(qparams[-1]))
+    flat = jax.tree.leaves(jax.tree.map(lambda a: a.dtype == jnp.int8, qparams))
+    assert any(bool(f) for f in flat), "no conv was quantized"
+
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3)
+                    .astype(np.float32))
+    pred_f, _ = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    pred_q, _ = jax.jit(lambda p, x: model.apply(p, x))(qparams, x)
+    assert pred_q.shape == pred_f.shape
+    # boxes (px units) close; scores (sigmoid) close
+    box_err = float(jnp.max(jnp.abs(pred_q[..., :4] - pred_f[..., :4])))
+    score_err = float(jnp.max(jnp.abs(pred_q[..., 4:] - pred_f[..., 4:])))
+    assert box_err < 2.0, box_err          # < 2 px drift on a 64px image
+    assert score_err < 0.05, score_err     # random-weight scores ~0.5
