@@ -113,8 +113,9 @@ def nms_single(
     # recall slack is immaterial).
     if multi_label and nc > 1:
         flat = scores_mat.reshape(-1)  # (N*nc,)
-        gate = jnp.logical_and(flat > conf_thres, obj.repeat(nc) > conf_thres)
-        flat = jnp.where(gate, flat, -1.0)
+        # the reference's obj gate (general.py:689 ``xc``) is implied:
+        # obj*cls > conf  =>  obj > conf  since cls = sigmoid(.) <= 1
+        flat = jnp.where(flat > conf_thres, flat, -1.0)
         k = min(pre_topk, flat.shape[0])
         top_scores, top_idx = jax.lax.approx_max_k(flat, k, recall_target=0.98)
         box_idx = top_idx // nc
