@@ -363,3 +363,24 @@ def test_quantize_yolo_preds_close_and_structure():
     score_err = float(jnp.max(jnp.abs(pred_q[..., 4:] - pred_f[..., 4:])))
     assert box_err < 2.0, box_err          # < 2 px drift on a 64px image
     assert score_err < 0.05, score_err     # random-weight scores ~0.5
+
+
+def test_blocked_nms_nondivisible_k():
+    """Blocked greedy suppression pads K not divisible by the block size and
+    still matches sequential greedy."""
+    from lpr_tpu.ops.boxes import box_iou
+    from lpr_tpu.ops.nms import _greedy_suppress
+
+    rng = np.random.RandomState(7)
+    k = 50  # not a multiple of 16
+    off = np.cumsum(rng.rand(k, 2) * 5, 0) % 70
+    boxes = jnp.asarray(np.concatenate([off, off + 18], 1).astype(np.float32))
+    valid = jnp.asarray(rng.rand(k) > 0.2)
+    iou = box_iou(boxes, boxes)
+    got = np.asarray(jax.jit(lambda i, v: _greedy_suppress(i, v, 0.3))(iou, valid))
+    ioun, validn = np.asarray(iou), np.asarray(valid)
+    suppressed = np.zeros(k, bool)
+    for i in range(k):
+        if validn[i] and not suppressed[i]:
+            suppressed |= (ioun[i] > 0.3) & (np.arange(k) > i)
+    np.testing.assert_array_equal(got, validn & ~suppressed)
