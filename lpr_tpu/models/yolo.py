@@ -933,16 +933,32 @@ class YoloModel:
         return [l.import_torch(sd, f"{prefix}.{l.i}", fuse) for l in self.layers]
 
     def apply(self, params: List[Params], x, decode: bool = True,
-              train: bool = False):
+              train: bool = False, front: Optional[Any] = None):
         """Forward.  ``train=True`` switches BN to batch statistics and
         additionally returns a params pytree with EMA-updated running stats:
-        ``(out, new_params)``."""
+        ``(out, new_params)``.
+
+        ``front``: packed weights from
+        :func:`lpr_tpu.ops.pallas.yolo_front.front_pack_from_params` —
+        runs layers 0-2 through the fused Pallas front-end kernel
+        (inference only; requires the 736x1280 geometry and bf16 input)."""
+        use_front = (front is not None and not train
+                     and x.shape[1:] == (736, 1280, 3)
+                     and x.dtype == jnp.bfloat16)
         ctx: Optional[Dict[int, Any]] = {} if train else None
         _BN_CTX[0] = ctx
         try:
             saved: Dict[int, Any] = {}
             y = x
-            for l, p in zip(self.layers, params):
+            start = 0
+            if use_front:
+                from lpr_tpu.ops.pallas.yolo_front import front_apply
+
+                y = front_apply(x, front)
+                if 2 in self.save:
+                    saved[2] = y
+                start = 3
+            for l, p in zip(self.layers[start:], params[start:]):
                 if l.f != -1:
                     if isinstance(l.f, int):
                         y = saved[l.f % len(self.layers)] if l.f >= 0 else y

@@ -1,0 +1,391 @@
+"""Fused Pallas kernel for the YOLO high-resolution front end.
+
+Fuses the three layers that dominate the detector's runtime at 736x1280 —
+the S2D-transformed stem conv (12->32), the stride-2 downsample (32->64)
+and the first C3 block (64->64, n=1) — into one VMEM-resident kernel.
+XLA runs these high-res small-channel convs poorly (9.7-17 TF/s, see
+tools/bench_convs.py): with C in {12..64} the feature dim is lane-starved
+and every layer round-trips its 0.5-1.9 GB activation through HBM.  Here
+each (image, 4-row strip) grid cell computes all three layers in VMEM.
+
+Layout: channel-major parity planes.  Activations live as 2D (C, rows*327)
+bf16 arrays — channels on sublanes, row-major spatial on lanes — so a 3x3
+conv becomes 9 lane-shifted block copies into a (K, N) im2col buffer and
+ONE MXU matmul per layer (K = kh*kw*Cin on sublanes, spatial on lanes).
+The stride-2 stem->down step is handled by storing the stem output as
+even/odd column planes (so the downsample's column selection is again a
+pure lane shift) and by building the downsample's im2col per output row
+(6 small matmuls) to absorb the row stride.
+
+Geometry bookkeeping (strip s of 46, 4 output rows each):
+- input: s2d plane of the letterboxed frame, parity-split to 24 channels
+  (12 even-col + 12 odd-col), rows padded (5, 4) -> 377, cols padded
+  (4, 3) -> 327 per plane; packed (B, 24, RP*CP), DMA'd per strip as
+  rows [8s, 8s+17).
+- real col d maps to grid col q = d + 4; pad cols hold zeros, and a
+  lane-wrap across a row boundary lands on a pad col of the neighboring
+  row, so uniform lane-shift slices implement exact zero padding.
+- out-of-domain positions that a plain conv would zero-pad (image
+  top/bottom rows, left/right cols) are re-zeroed after each layer with a
+  computed domain mask, keeping bit-parity with the XLA composition.
+
+Reference architecture being fused: yolov5s-v6.0 layers 0-2
+(yolov5/models/common.py:37-49 Conv, :126-138 C3) as built by
+lpr_tpu.models.yolo.build_yolo with the S2D stem transform.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lpr_tpu.ops import nn as tnn
+
+# grid geometry constants (detector at 736x1280 -> s2d plane 368x640)
+ROWS = 368          # s2d rows
+COLS = 320          # per parity plane
+# padded plane cols (4 left, 60 right): 384 = 3*128 keeps every row-major
+# lane offset of a whole row 128-aligned, which Mosaic requires for the
+# HBM->VMEM strip DMA slices
+CP = 384
+RP = 377            # padded rows (5 top, 4 bottom)
+STRIP = 8           # C3 output rows per grid cell
+C3ROWS = 184        # output rows (368 / 2)
+NSTRIP = C3ROWS // STRIP
+SROWS = 2 * STRIP + 5   # stem rows computed per strip
+DROWS = STRIP + 2       # down1 rows computed per strip
+WIN = SROWS + 4         # input window rows per strip
+
+
+def _silu_f32(x):
+    y = x * jax.nn.sigmoid(x)
+    return jnp.where(jnp.abs(y) < 1e-30, 0.0, y)
+
+
+def pack_front_input(x_s2d: jax.Array) -> jax.Array:
+    """(B, 368, 640, 12) s2d plane -> (B, 24, RP*CP) parity-packed."""
+    ze = x_s2d[:, :, 0::2, :]
+    zo = x_s2d[:, :, 1::2, :]
+    z = jnp.concatenate([ze, zo], -1)               # (B, 368, 320, 24)
+    z = jnp.pad(z, ((0, 0), (5, 4), (4, CP - COLS - 4), (0, 0)))
+    z = jnp.transpose(z, (0, 3, 1, 2))               # (B, 24, 377, 327)
+    return z.reshape(z.shape[0], 24, RP * CP)
+
+
+def _pad16(w2d: np.ndarray) -> np.ndarray:
+    """(12, Cout) -> (16, Cout) zero-padded rows."""
+    out = np.zeros((16, w2d.shape[1]), w2d.dtype)
+    out[:12] = w2d
+    return out
+
+
+def pack_front_weights(p_stem: Dict, p_down: Dict, p_c3: Dict) -> Dict:
+    """BN-folded HWIO conv params -> kernel weight dict (bf16 device arrays).
+
+    p_stem: {"w": (3,3,12,32) S2D-TRANSFORMED stem weights, "b": (32,)}
+    p_down: {"w": (3,3,32,64), "b": (64,)}
+    p_c3:   {"cv1": {w (1,1,64,32), b}, "cv2": {...}, "cv3": {w (1,1,64,64), b},
+             "m": [{"cv1": {w (1,1,32,32), b}, "cv2": {w (3,3,32,32), b}}]}
+    """
+    f32 = np.float32
+
+    def mat(w):  # (1,1,ci,co) -> (co, ci)
+        return np.asarray(w, f32)[0, 0].T
+
+    w0 = np.asarray(p_stem["w"], f32)    # (3,3,12,32)
+    # K-rows grouped (dr, dx) x 16 padded channels
+    w0k = np.concatenate(
+        [_pad16(w0[dr, dx]) for dr in range(3) for dx in range(3)], 0
+    )                                     # (144, 32)
+    w1 = np.asarray(p_down["w"], f32)     # (3,3,32,64)
+    w1k = np.concatenate(
+        [w1[dr, dx] for dr in range(3) for dx in range(3)], 0
+    )                                     # (288, 64)
+    m0 = p_c3["m"][0]
+    wm2 = np.asarray(m0["cv2"]["w"], f32)
+    wm2k = np.concatenate(
+        [wm2[dr, dx] for dr in range(3) for dx in range(3)], 0
+    )                                     # (288, 32)
+    # cv1 (rows 0-31) and cv2 (rows 32-63) fused into one 64x64 matmul
+    w12 = np.concatenate([mat(p_c3["cv1"]["w"]), mat(p_c3["cv2"]["w"])], 0)
+    b12 = np.concatenate([np.asarray(p_c3["cv1"]["b"], f32),
+                          np.asarray(p_c3["cv2"]["b"], f32)], 0)
+    bf = jnp.bfloat16
+
+    def dev(a, dt=bf):
+        return jnp.asarray(a, dt)
+
+    return {
+        "w0": dev(w0k.T),                       # (32, 144)
+        "b0": dev(np.asarray(p_stem["b"], f32).reshape(32, 1), jnp.float32),
+        "w1": dev(w1k.T),                       # (64, 288)
+        "b1": dev(np.asarray(p_down["b"], f32).reshape(64, 1), jnp.float32),
+        "w12": dev(w12),                        # (64, 64)
+        "b12": dev(b12.reshape(64, 1), jnp.float32),
+        "wm1": dev(mat(m0["cv1"]["w"])),        # (32, 32)
+        "bm1": dev(np.asarray(m0["cv1"]["b"], f32).reshape(32, 1),
+                   jnp.float32),
+        "wm2": dev(wm2k.T),                     # (32, 288)
+        "bm2": dev(np.asarray(m0["cv2"]["b"], f32).reshape(32, 1),
+                   jnp.float32),
+        "w3": dev(mat(p_c3["cv3"]["w"])),       # (64, 64)
+        "b3": dev(np.asarray(p_c3["cv3"]["b"], f32).reshape(64, 1),
+                  jnp.float32),
+    }
+
+
+def _front_kernel(x_hbm, w0, b0, w1, b1, w12, b12, wm1, bm1, wm2, bm2,
+                  w3, b3, out_ref, xw, a0e, a0o, se, so, a1, dbuf, p1,
+                  a2, cbuf, sem):
+    """One (image b, strip s) cell.  See module docstring for geometry."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    bf = jnp.bfloat16
+
+    # zero scratch once: K-pad rows of the im2col buffers and the halo
+    # rows of the row-windowed buffers are never written afterwards
+    @pl.when(jnp.logical_and(b == 0, s == 0))
+    def _():
+        for ref in (a0e, a0o, a2, dbuf, p1, se, so):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    # ---- DMA the input strip: rows [2*STRIP*s, +WIN) of the padded plane
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(2 * STRIP * s * CP, WIN * CP)], xw, sem)
+    dma.start()
+    dma.wait()
+
+    # ---- domain masks (lanes -> (row, col) of each grid)
+    def domain_mask(nrows, row0_of, ncols_valid_row):
+        # q in [4, 324) and global row in valid range
+        l = jax.lax.broadcasted_iota(jnp.int32, (1, nrows * CP), 1)
+        q = l % CP
+        r = l // CP
+        t = row0_of + r
+        ok = (q >= 4) & (q < 4 + COLS) & (t >= 0) & (t < ncols_valid_row)
+        return ok
+
+    # stem grid: SROWS rows, stem s2d row t = 2*STRIP*s + w' - 5, w' = 2 + r
+    stem_ok = domain_mask(SROWS, 2 * STRIP * s + 2 - 5, ROWS)
+
+    # ---- stem: im2col (144, SROWS*CP) then one matmul per parity
+    NS = SROWS * CP
+    for dr in range(3):
+        for dx in range(3):
+            k = dr * 3 + dx
+            # source row base: w'-1+dr with w'=2 -> row 1+dr; lane offsets
+            base = (1 + dr) * CP
+            if dx == 0:   # even out: O[-1]; odd out: E[0]
+                a0e[16 * k:16 * k + 12, :] = xw[12:24, base - 1:base - 1 + NS]
+                a0o[16 * k:16 * k + 12, :] = xw[0:12, base:base + NS]
+            elif dx == 1:  # even: E[0]; odd: O[0]
+                a0e[16 * k:16 * k + 12, :] = xw[0:12, base:base + NS]
+                a0o[16 * k:16 * k + 12, :] = xw[12:24, base:base + NS]
+            else:          # even: O[0]; odd: E[+1]
+                a0e[16 * k:16 * k + 12, :] = xw[12:24, base:base + NS]
+                a0o[16 * k:16 * k + 12, :] = xw[0:12, base + 1:base + 1 + NS]
+    W0 = w0[...]
+    for aref, dst in ((a0e, se), (a0o, so)):
+        y = jnp.dot(W0, aref[...], preferred_element_type=jnp.float32)
+        y = _silu_f32(y + b0[...])
+        # stem row w' = 2 + r is stored at lane offset w'*CP (rows 0, 1 and
+        # SROWS+2 stay zero from the init block — they are the down1 halo)
+        dst[:, 2 * CP:(2 + SROWS) * CP] = jnp.where(stem_ok, y, 0.0).astype(bf)
+
+    # ---- down1: per output row v (DROWS rows), im2col (288, CP)
+    W1 = w1[...]
+    for v in range(DROWS):
+        for dr in range(3):
+            base = (2 * v + dr + 2) * CP
+            k3 = dr * 3
+            a1[32 * k3:32 * k3 + 32, :] = so[:, base - 1:base - 1 + CP]
+            a1[32 * (k3 + 1):32 * (k3 + 1) + 32, :] = se[:, base:base + CP]
+            a1[32 * (k3 + 2):32 * (k3 + 2) + 32, :] = so[:, base:base + CP]
+        y = jnp.dot(W1, a1[...], preferred_element_type=jnp.float32)
+        y = _silu_f32(y + b1[...])
+        # row validity: t1 = STRIP*s + v - 1 in [0, C3ROWS); col domain
+        l = jax.lax.broadcasted_iota(jnp.int32, (1, CP), 1)
+        t1 = STRIP * s + v - 1
+        ok = ((l >= 4) & (l < 4 + COLS)
+              & (t1 >= 0) & (t1 < C3ROWS))
+        dbuf[:, (v + 1) * CP:(v + 2) * CP] = jnp.where(ok, y, 0.0).astype(bf)
+
+    # ---- C3: cv1 (halo rows) + cv2 (center rows) in one matmul
+    W12 = w12[...]
+    y = jnp.dot(W12, dbuf[:, CP:(DROWS + 1) * CP],
+                preferred_element_type=jnp.float32)
+    # y row r <-> down global row STRIP*s + r - 1 (dbuf/p1 row j = r + 1)
+    y = _silu_f32(y + b12[...])          # (64, DROWS*CP)
+    c3_okd = domain_mask(DROWS, STRIP * s - 1, C3ROWS)
+    y = jnp.where(c3_okd, y, 0.0)
+    p1[0:32, CP:(DROWS + 1) * CP] = y[0:32].astype(bf)   # cv1 branch
+    p2 = y[32:64, CP:(STRIP + 1) * CP]   # cv2 branch, center STRIP rows
+
+    # m.cv1 on the cv1 branch (DROWS halo rows)
+    Wm1 = wm1[...]
+    ym1 = jnp.dot(Wm1, p1[0:32, CP:(DROWS + 1) * CP],
+                  preferred_element_type=jnp.float32)
+    ym1 = _silu_f32(ym1 + bm1[...])
+    p1[32:64, CP:(DROWS + 1) * CP] = jnp.where(c3_okd, ym1, 0.0).astype(bf)
+
+    # m.cv2 3x3 over the m.cv1 output (stored with leading zero row)
+    NC = STRIP * CP
+    for dr in range(3):
+        for dx in range(3):
+            k = dr * 3 + dx
+            base = (dr + 1) * CP + dx - 1
+            a2[32 * k:32 * k + 32, :] = p1[32:64, base:base + NC]
+    Wm2 = wm2[...]
+    ym2 = jnp.dot(Wm2, a2[...], preferred_element_type=jnp.float32)
+    ym2 = _silu_f32(ym2 + bm2[...])
+    c3_oks = domain_mask(STRIP, STRIP * s, C3ROWS)
+    ym2 = jnp.where(c3_oks, ym2, 0.0)
+    # shortcut add (c1 == c2): + cv1-branch center rows
+    m1 = ym2.astype(bf) + p1[0:32, 2 * CP:(STRIP + 2) * CP]
+
+    cbuf[0:32, :] = m1
+    cbuf[32:64, :] = p2.astype(bf)
+    W3 = w3[...]
+    yo = jnp.dot(W3, cbuf[...], preferred_element_type=jnp.float32)
+    yo = _silu_f32(yo + b3[...])
+    yo = jnp.where(c3_oks, yo, 0.0).astype(bf)    # (64, STRIP*CP)
+
+    # ---- write real cols [4, 4+COLS) of each of the STRIP rows
+    for u in range(STRIP):
+        out_ref[0, :, u * COLS:(u + 1) * COLS] = (
+            yo[:, u * CP + 4:u * CP + 4 + COLS])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def front_fused(xp: jax.Array, w: Dict, interpret: bool = False) -> jax.Array:
+    """xp: packed input (B, 24, RP*CP).  Returns (B, 184, 320, 64) bf16."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = xp.shape[0]
+    bf = jnp.bfloat16
+    NS = SROWS * CP
+    grid = (B, NSTRIP)
+    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+    out = pl.pallas_call(
+        _front_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 64, C3ROWS * COLS), bf),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + wspecs,
+        out_specs=pl.BlockSpec(
+            (1, 64, STRIP * COLS), lambda b, s: (b, 0, s),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((24, WIN * CP), bf),            # xw
+            pltpu.VMEM((144, NS), bf),                 # a0e
+            pltpu.VMEM((144, NS), bf),                 # a0o
+            pltpu.VMEM((32, (SROWS + 3) * CP), bf),    # se
+            pltpu.VMEM((32, (SROWS + 3) * CP), bf),    # so
+            pltpu.VMEM((288, CP), bf),                 # a1
+            pltpu.VMEM((64, (DROWS + 2) * CP), bf),    # dbuf
+            pltpu.VMEM((64, (DROWS + 2) * CP), bf),    # p1 (rows 0/last halo)
+            pltpu.VMEM((288, STRIP * CP), bf),         # a2
+            pltpu.VMEM((64, STRIP * CP), bf),          # cbuf
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, w["w0"], w["b0"], w["w1"], w["b1"], w["w12"], w["b12"],
+      w["wm1"], w["bm1"], w["wm2"], w["bm2"], w["w3"], w["b3"])
+    out = out.reshape(B, 64, C3ROWS, COLS)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def _fold_conv(p: Dict) -> Dict:
+    """Conv param dict (maybe with separate BN) -> {"w", "b"} numpy."""
+    w = np.asarray(p["w"], np.float32)
+    b = None if p.get("b") is None else np.asarray(p["b"], np.float32)
+    if "bn" in p:
+        bn = p["bn"]
+        w, b = tnn.fuse_conv_bn(w, b, np.asarray(bn["gamma"]),
+                                np.asarray(bn["beta"]),
+                                np.asarray(bn["mean"]),
+                                np.asarray(bn["var"]), eps=1e-3)
+    if b is None:
+        b = np.zeros((w.shape[-1],), np.float32)
+    return {"w": w, "b": b}
+
+
+def front_pack_from_params(model, params):
+    """Match the detector's first three layers against the fused-front
+    pattern and return packed kernel weights, or None.
+
+    Requirements: layer0 = S2D-stem Conv(3->32, k6 s2 p2), layer1 =
+    Conv(32->64, k3 s2), layer2 = C3(64->64, n=1, shortcut), sequential
+    wiring, and layers 0/1 not consumed elsewhere.  ``params`` must be
+    concrete (call at model-load time, not under trace).
+    """
+    from lpr_tpu.models.yolo import C3, Conv
+
+    ls = model.layers
+    if len(ls) < 3:
+        return None
+    l0, l1, l2 = ls[0], ls[1], ls[2]
+    ok = (type(l0) is Conv and l0._is_s2d_stem() and l0.c1 == 3
+          and l0.c2 == 32 and l0.act == "silu"
+          and type(l1) is Conv and l1.k == 3 and l1.s == 2
+          and l1.c1 == 32 and l1.c2 == 64 and l1.g == 1
+          and l1.act == "silu"
+          and type(l2) is C3 and l2.n == 1 and l2.shortcut
+          and l2.c1 == 64 and l2.c2 == 64 and l2.g == 1 and l2.e == 0.5
+          and l1.f == -1 and l2.f == -1
+          and not ({0, 1} & set(model.save)))
+    if not ok:
+        return None
+    p0 = _fold_conv(params[0])
+    # apply the S2D stem weight rearrangement (Conv._is_s2d_stem path)
+    w6 = p0["w"]                                  # (6, 6, 3, 32)
+    w6 = w6.reshape(3, 2, 3, 2, 3, 32).transpose(0, 2, 4, 1, 3, 5)
+    p_stem = {"w": w6.reshape(3, 3, 12, 32), "b": p0["b"]}
+    p_down = _fold_conv(params[1])
+    c3p = params[2]
+    p_c3 = {
+        "cv1": _fold_conv(c3p["cv1"]),
+        "cv2": _fold_conv(c3p["cv2"]),
+        "cv3": _fold_conv(c3p["cv3"]),
+        "m": [{"cv1": _fold_conv(c3p["m"][0]["cv1"]),
+               "cv2": _fold_conv(c3p["m"][0]["cv2"])}],
+    }
+    return pack_front_weights(p_stem, p_down, p_c3)
+
+
+def front_apply(x: jax.Array, packed: Dict) -> jax.Array:
+    """Letterboxed frame batch (B, 736, 1280, 3) bf16 -> C3 output
+    (B, 184, 320, 64) via the fused kernel."""
+    z = tnn.pixel_unshuffle(x, 2)                 # (B, 368, 640, 12)
+    return front_fused(pack_front_input(z), packed)
+
+
+def front_reference(x_s2d: jax.Array, p_stem: Dict, p_down: Dict,
+                    p_c3: Dict) -> jax.Array:
+    """XLA composition of the same three layers (parity oracle).
+
+    x_s2d: (B, 368, 640, 12) bf16.  Params as in pack_front_weights.
+    """
+    x = tnn.conv2d(x_s2d, jnp.asarray(p_stem["w"]),
+                   jnp.asarray(p_stem["b"]), stride=1, padding=1)
+    x = tnn.silu(x)
+    x = tnn.conv2d(x, jnp.asarray(p_down["w"]), jnp.asarray(p_down["b"]),
+                   stride=2, padding=1)
+    x = tnn.silu(x)
+
+    def cv(p, z, k=1):
+        return tnn.silu(tnn.conv2d(z, jnp.asarray(p["w"]),
+                                   jnp.asarray(p["b"]), padding=k // 2))
+
+    y1 = cv(p_c3["cv1"], x)
+    m = p_c3["m"][0]
+    y1b = cv(m["cv2"], cv(m["cv1"], y1), k=3) + y1
+    y2 = cv(p_c3["cv2"], x)
+    return cv(p_c3["cv3"], jnp.concatenate([y1b, y2], -1))

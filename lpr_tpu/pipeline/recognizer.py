@@ -72,6 +72,13 @@ class PipelineConfig:
     # (run.py:197,207).  False = SR-only OCR: halves the char-model work for
     # throughput serving where only the enhanced reading matters.
     ocr_on_original: bool = True
+    # Run the plate detector's first three layers (S2D stem, stride-2
+    # downsample, first C3) through the fused Pallas front-end kernel
+    # (ops/pallas/yolo_front.py) — the high-res small-channel layers XLA
+    # runs worst (22 -> 15 ms/step at batch 32).  Auto-disabled unless the
+    # layer pattern matches, det_hw is (736, 1280), dtype is bf16 and the
+    # backend is TPU.
+    fused_front: bool = True
     # int8-quantize the plate detector's conv stack (models.yolo.quantize_yolo:
     # dynamic per-tensor activation quant, per-channel int8 weights, BN
     # folded; Detect head stays float).  The int8 MXU path is 2x the bf16
@@ -131,6 +138,13 @@ class PlateRecognizer:
         mask = np.zeros((plate_model.nc,), bool)
         mask[list(plate_class_ids)] = True
         self.plate_mask = jnp.asarray(mask)
+        self._front = None
+        if (cfg.fused_front and tuple(cfg.det_hw) == (736, 1280)
+                and cfg.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"):
+            from lpr_tpu.ops.pallas.yolo_front import front_pack_from_params
+
+            self._front = front_pack_from_params(plate_model, plate_params)
         if cfg.int8_detector:
             from lpr_tpu.models.yolo import quantize_yolo
 
@@ -221,7 +235,8 @@ class PlateRecognizer:
             x = frames.astype(cfg.dtype) / 255.0
             fh, fw = x.shape[1], x.shape[2]
             lb, gain, pad = im.letterbox(x, cfg.det_hw, fill=0.0)
-            pred, _ = self.plate_model.apply(params["plate"], lb)
+            pred, _ = self.plate_model.apply(params["plate"], lb,
+                                             front=self._front)
             det = nms_batched(
                 pred, cfg.det_conf, cfg.iou, max_det=16, pre_topk=64,
                 multi_label=True, agnostic=True, class_mask=self.plate_mask,
