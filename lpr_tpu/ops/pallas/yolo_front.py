@@ -8,20 +8,22 @@ tools/bench_convs.py): with C in {12..64} the feature dim is lane-starved
 and every layer round-trips its 0.5-1.9 GB activation through HBM.  Here
 each (image, 4-row strip) grid cell computes all three layers in VMEM.
 
-Layout: channel-major parity planes.  Activations live as 2D (C, rows*327)
-bf16 arrays — channels on sublanes, row-major spatial on lanes — so a 3x3
-conv becomes 9 lane-shifted block copies into a (K, N) im2col buffer and
-ONE MXU matmul per layer (K = kh*kw*Cin on sublanes, spatial on lanes).
-The stride-2 stem->down step is handled by storing the stem output as
-even/odd column planes (so the downsample's column selection is again a
-pure lane shift) and by building the downsample's im2col per output row
-(6 small matmuls) to absorb the row stride.
+Layout: channel-major QUARTER-GRID parity planes.  Activations live as 2D
+(C, rows*CP) bf16 arrays — channels on sublanes, row-major spatial on
+lanes — and the spatial grid is split by row parity x column parity into
+four quarter planes.  A 3x3 conv tap then maps to (source plane, uniform
+lane shift) for BOTH stride-1 and stride-2 layers, so every layer is just
+a handful of aligned block copies into a (K, N) im2col buffer followed by
+ONE MXU matmul (K = kh*kw*Cin on sublanes, spatial streaming on lanes):
+the stem is one (32,144)x(144, 4*KQ*CP) matmul covering all four output
+planes, the stride-2 downsample one (64,288)x(288, DROWS*CP) matmul.
 
-Geometry bookkeeping (strip s of 46, 4 output rows each):
-- input: s2d plane of the letterboxed frame, parity-split to 24 channels
-  (12 even-col + 12 odd-col), rows padded (5, 4) -> 377, cols padded
-  (4, 3) -> 327 per plane; packed (B, 24, RP*CP), DMA'd per strip as
-  rows [8s, 8s+17).
+Geometry bookkeeping (strip s, STRIP C3-output rows each):
+- input: the letterboxed frame packed by ONE XLA transpose into 4 parity
+  planes x 16 channels (12 S2D channels + 4 alignment pads) on the
+  184x320 quarter grid, rows padded to RP, cols to CP = 384 = 3*128 so
+  each row's lane offset is DMA-aligned; per strip the kernel DMAs
+  quarter rows [STRIP*s, +WIN).
 - real col d maps to grid col q = d + 4; pad cols hold zeros, and a
   lane-wrap across a row boundary lands on a pad col of the neighboring
   row, so uniform lane-shift slices implement exact zero padding.
@@ -52,13 +54,17 @@ COLS = 320          # per parity plane
 # lane offset of a whole row 128-aligned, which Mosaic requires for the
 # HBM->VMEM strip DMA slices
 CP = 384
-RP = 377            # padded rows (5 top, 4 bottom)
 STRIP = 8           # C3 output rows per grid cell
 C3ROWS = 184        # output rows (368 / 2)
 NSTRIP = C3ROWS // STRIP
-SROWS = 2 * STRIP + 5   # stem rows computed per strip
 DROWS = STRIP + 2       # down1 rows computed per strip
-WIN = SROWS + 4         # input window rows per strip
+# quarter-grid (row-parity x col-parity) geometry: the input is packed as
+# 48 channel planes (2 row-par x 2 col-par x 12 s2d ch) on a 184-row
+# quarter grid, so BOTH stride-2 axes of the downsample reduce to plane
+# selection + uniform lane shifts
+KQ = STRIP + 3          # stem quarter-rows computed per strip (11)
+WIN = KQ + 4            # input window quarter-rows per strip (15)
+RP = 8 * (NSTRIP - 1) + WIN   # padded quarter rows (191: 4 top, 3 bottom)
 
 
 def _silu_f32(x):
@@ -66,14 +72,35 @@ def _silu_f32(x):
     return jnp.where(jnp.abs(y) < 1e-30, 0.0, y)
 
 
+def pack_front_frames(x: jax.Array) -> jax.Array:
+    """Letterboxed frames (B, 736, 1280, 3) -> (B, 48, RP*CP) quarter-grid
+    parity-packed planes, one XLA transpose.
+
+    Plane channel index = rho*24 + pp*12 + c*4 + i*2 + j where (rho, pp)
+    are the s2d-grid row/col parities and (c, i, j) the S2D channel of
+    ``tnn.pixel_unshuffle``: plane[ch, k, ce] = img[4k+2*rho+i,
+    4*ce+2*pp+j, c]."""
+    B = x.shape[0]
+    z = x.reshape(B, 184, 2, 2, 320, 2, 2, 3)   # b k rho i ce pp j c
+    z = jnp.transpose(z, (0, 2, 5, 7, 3, 6, 1, 4))  # b rho pp c i j k ce
+    z = z.reshape(B, 4, 12, 184, 320)
+    # pad each plane's channel block 12 -> 16 so every in-kernel plane
+    # read is sublane-tile aligned (bf16 tiles are 16 sublanes)
+    z = jnp.pad(z, ((0, 0), (0, 0), (0, 4), (4, RP - 184 - 4),
+                    (4, CP - COLS - 4)))
+    return z.reshape(B, 64, RP * CP)
+
+
 def pack_front_input(x_s2d: jax.Array) -> jax.Array:
-    """(B, 368, 640, 12) s2d plane -> (B, 24, RP*CP) parity-packed."""
-    ze = x_s2d[:, :, 0::2, :]
-    zo = x_s2d[:, :, 1::2, :]
-    z = jnp.concatenate([ze, zo], -1)               # (B, 368, 320, 24)
-    z = jnp.pad(z, ((0, 0), (5, 4), (4, CP - COLS - 4), (0, 0)))
-    z = jnp.transpose(z, (0, 3, 1, 2))               # (B, 24, 377, 327)
-    return z.reshape(z.shape[0], 24, RP * CP)
+    """(B, 368, 640, 12) s2d plane -> (B, 48, RP*CP) (test convenience;
+    production uses :func:`pack_front_frames` on the raw frames)."""
+    B = x_s2d.shape[0]
+    z = x_s2d.reshape(B, 184, 2, 320, 2, 12)    # b k rho ce pp ch
+    z = jnp.transpose(z, (0, 2, 4, 5, 1, 3))     # b rho pp ch k ce
+    z = z.reshape(B, 4, 12, 184, 320)
+    z = jnp.pad(z, ((0, 0), (0, 0), (0, 4), (4, RP - 184 - 4),
+                    (4, CP - COLS - 4)))
+    return z.reshape(B, 64, RP * CP)
 
 
 def _pad16(w2d: np.ndarray) -> np.ndarray:
@@ -138,8 +165,14 @@ def pack_front_weights(p_stem: Dict, p_down: Dict, p_c3: Dict) -> Dict:
     }
 
 
+# (source-plane row-parity, k-shift) / (col-parity, col-shift) tap tables:
+# tap m of a 3-tap stride-1/2 window on parity plane delta (see docstring)
+_TAP_EVEN = ((1, -1), (0, 0), (1, 0))   # output on even parity
+_TAP_ODD = ((0, 0), (1, 0), (0, 1))     # output on odd parity
+
+
 def _front_kernel(x_hbm, w0, b0, w1, b1, w12, b12, wm1, bm1, wm2, bm2,
-                  w3, b3, out_ref, xw, a0e, a0o, se, so, a1, dbuf, p1,
+                  w3, b3, out_ref, xw, a0, sq, a1, dbuf, p1,
                   a2, cbuf, sem):
     """One (image b, strip s) cell.  See module docstring for geometry."""
     from jax.experimental import pallas as pl
@@ -153,69 +186,71 @@ def _front_kernel(x_hbm, w0, b0, w1, b1, w12, b12, wm1, bm1, wm2, bm2,
     # rows of the row-windowed buffers are never written afterwards
     @pl.when(jnp.logical_and(b == 0, s == 0))
     def _():
-        for ref in (a0e, a0o, a2, dbuf, p1, se, so):
+        for ref in (a0, sq, a2, dbuf, p1):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
-    # ---- DMA the input strip: rows [2*STRIP*s, +WIN) of the padded plane
+    # ---- DMA the input strip: quarter rows [STRIP*s, +WIN) of the planes
     dma = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(2 * STRIP * s * CP, WIN * CP)], xw, sem)
+        x_hbm.at[b, :, pl.ds(STRIP * s * CP, WIN * CP)], xw, sem)
     dma.start()
     dma.wait()
 
     # ---- domain masks (lanes -> (row, col) of each grid)
-    def domain_mask(nrows, row0_of, ncols_valid_row):
-        # q in [4, 324) and global row in valid range
+    def domain_mask(nrows, row0, nvalid, step=1):
+        # q in [4, 4+COLS) and global row row0 + step*r in [0, nvalid)
         l = jax.lax.broadcasted_iota(jnp.int32, (1, nrows * CP), 1)
         q = l % CP
-        r = l // CP
-        t = row0_of + r
-        ok = (q >= 4) & (q < 4 + COLS) & (t >= 0) & (t < ncols_valid_row)
-        return ok
+        t = row0 + step * (l // CP)
+        return (q >= 4) & (q < 4 + COLS) & (t >= 0) & (t < nvalid)
 
-    # stem grid: SROWS rows, stem s2d row t = 2*STRIP*s + w' - 5, w' = 2 + r
-    stem_ok = domain_mask(SROWS, 2 * STRIP * s + 2 - 5, ROWS)
-
-    # ---- stem: im2col (144, SROWS*CP) then one matmul per parity
-    NS = SROWS * CP
-    for dr in range(3):
-        for dx in range(3):
-            k = dr * 3 + dx
-            # source row base: w'-1+dr with w'=2 -> row 1+dr; lane offsets
-            base = (1 + dr) * CP
-            if dx == 0:   # even out: O[-1]; odd out: E[0]
-                a0e[16 * k:16 * k + 12, :] = xw[12:24, base - 1:base - 1 + NS]
-                a0o[16 * k:16 * k + 12, :] = xw[0:12, base:base + NS]
-            elif dx == 1:  # even: E[0]; odd: O[0]
-                a0e[16 * k:16 * k + 12, :] = xw[0:12, base:base + NS]
-                a0o[16 * k:16 * k + 12, :] = xw[12:24, base:base + NS]
-            else:          # even: O[0]; odd: E[+1]
-                a0e[16 * k:16 * k + 12, :] = xw[12:24, base:base + NS]
-                a0o[16 * k:16 * k + 12, :] = xw[0:12, base + 1:base + 1 + NS]
+    # ---- stem on quarter grids: 4 output planes (rho, pi), 36 aligned
+    # plane-shift copies into one (144, 4*KQ*CP) im2col, ONE matmul.
+    # Output plane row a (0..KQ) is quarter-row k = STRIP*s + a - 2
+    # (s2d row t = 2k + rho).
     W0 = w0[...]
-    for aref, dst in ((a0e, se), (a0o, so)):
-        y = jnp.dot(W0, aref[...], preferred_element_type=jnp.float32)
-        y = _silu_f32(y + b0[...])
-        # stem row w' = 2 + r is stored at lane offset w'*CP (rows 0, 1 and
-        # SROWS+2 stay zero from the init block — they are the down1 halo)
-        dst[:, 2 * CP:(2 + SROWS) * CP] = jnp.where(stem_ok, y, 0.0).astype(bf)
+    NQ = KQ * CP
+    for rho in (0, 1):
+        rtap = _TAP_EVEN if rho == 0 else _TAP_ODD
+        for pi in (0, 1):
+            ctap = _TAP_EVEN if pi == 0 else _TAP_ODD
+            off = (2 * rho + pi) * NQ
+            for dr in range(3):
+                rs, kd = rtap[dr]
+                for dx in range(3):
+                    ps, cd = ctap[dx]
+                    k = dr * 3 + dx
+                    src = 16 * (2 * rs + ps)
+                    base = (2 + kd) * CP + cd
+                    a0[16 * k:16 * k + 12, off:off + NQ] = (
+                        xw[src:src + 12, base:base + NQ])
+    y4 = jnp.dot(W0, a0[...], preferred_element_type=jnp.float32)
+    y4 = _silu_f32(y4 + b0[...])
+    for rho in (0, 1):
+        for pi in (0, 1):
+            off = (2 * rho + pi) * NQ
+            ok = domain_mask(KQ, 2 * (STRIP * s - 2) + rho, ROWS, step=2)
+            # plane (rho, pi) lives at sq rows [32*(2rho+pi), +32); plane
+            # row a stored at lane (a+1)*CP (rows 0 / KQ+1 are zero halo)
+            pr = 32 * (2 * rho + pi)
+            sq[pr:pr + 32, CP:(KQ + 1) * CP] = (
+                jnp.where(ok, y4[:, off:off + NQ], 0.0).astype(bf))
 
-    # ---- down1: per output row v (DROWS rows), im2col (288, CP)
+    # ---- down1: sources reduce to plane selection + uniform shifts on
+    # the quarter grid, so ONE im2col + ONE matmul covers all DROWS rows
     W1 = w1[...]
-    for v in range(DROWS):
-        for dr in range(3):
-            base = (2 * v + dr + 2) * CP
-            k3 = dr * 3
-            a1[32 * k3:32 * k3 + 32, :] = so[:, base - 1:base - 1 + CP]
-            a1[32 * (k3 + 1):32 * (k3 + 1) + 32, :] = se[:, base:base + CP]
-            a1[32 * (k3 + 2):32 * (k3 + 2) + 32, :] = so[:, base:base + CP]
-        y = jnp.dot(W1, a1[...], preferred_element_type=jnp.float32)
-        y = _silu_f32(y + b1[...])
-        # row validity: t1 = STRIP*s + v - 1 in [0, C3ROWS); col domain
-        l = jax.lax.broadcasted_iota(jnp.int32, (1, CP), 1)
-        t1 = STRIP * s + v - 1
-        ok = ((l >= 4) & (l < 4 + COLS)
-              & (t1 >= 0) & (t1 < C3ROWS))
-        dbuf[:, (v + 1) * CP:(v + 2) * CP] = jnp.where(ok, y, 0.0).astype(bf)
+    ND = DROWS * CP
+    for dr in range(3):
+        rs, kd = _TAP_EVEN[dr]      # stem row 2*t1 + dr - 1
+        for dx in range(3):
+            ps, cd = _TAP_EVEN[dx]  # stem col 2*d + dx - 1
+            k = dr * 3 + dx
+            pr = 32 * (2 * rs + ps)
+            base = (2 + kd) * CP + cd
+            a1[32 * k:32 * k + 32, :] = sq[pr:pr + 32, base:base + ND]
+    y = jnp.dot(W1, a1[...], preferred_element_type=jnp.float32)
+    y = _silu_f32(y + b1[...])
+    ok = domain_mask(DROWS, STRIP * s - 1, C3ROWS)
+    dbuf[:, CP:(DROWS + 1) * CP] = jnp.where(ok, y, 0.0).astype(bf)
 
     # ---- C3: cv1 (halo rows) + cv2 (center rows) in one matmul
     W12 = w12[...]
@@ -271,7 +306,6 @@ def front_fused(xp: jax.Array, w: Dict, interpret: bool = False) -> jax.Array:
 
     B = xp.shape[0]
     bf = jnp.bfloat16
-    NS = SROWS * CP
     grid = (B, NSTRIP)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
     out = pl.pallas_call(
@@ -283,12 +317,10 @@ def front_fused(xp: jax.Array, w: Dict, interpret: bool = False) -> jax.Array:
             (1, 64, STRIP * COLS), lambda b, s: (b, 0, s),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((24, WIN * CP), bf),            # xw
-            pltpu.VMEM((144, NS), bf),                 # a0e
-            pltpu.VMEM((144, NS), bf),                 # a0o
-            pltpu.VMEM((32, (SROWS + 3) * CP), bf),    # se
-            pltpu.VMEM((32, (SROWS + 3) * CP), bf),    # so
-            pltpu.VMEM((288, CP), bf),                 # a1
+            pltpu.VMEM((64, WIN * CP), bf),            # xw
+            pltpu.VMEM((144, 4 * KQ * CP), bf),        # a0 (4 planes)
+            pltpu.VMEM((128, (KQ + 2) * CP), bf),      # sq: 4 stem planes
+            pltpu.VMEM((288, DROWS * CP), bf),         # a1
             pltpu.VMEM((64, (DROWS + 2) * CP), bf),    # dbuf
             pltpu.VMEM((64, (DROWS + 2) * CP), bf),    # p1 (rows 0/last halo)
             pltpu.VMEM((288, STRIP * CP), bf),         # a2
@@ -362,9 +394,9 @@ def front_pack_from_params(model, params):
 
 def front_apply(x: jax.Array, packed: Dict) -> jax.Array:
     """Letterboxed frame batch (B, 736, 1280, 3) bf16 -> C3 output
-    (B, 184, 320, 64) via the fused kernel."""
-    z = tnn.pixel_unshuffle(x, 2)                 # (B, 368, 640, 12)
-    return front_fused(pack_front_input(z), packed)
+    (B, 184, 320, 64) via the fused kernel (the S2D reshuffle is folded
+    into the one packing transpose)."""
+    return front_fused(pack_front_frames(x), packed)
 
 
 def front_reference(x_s2d: jax.Array, p_stem: Dict, p_down: Dict,
