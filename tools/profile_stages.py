@@ -91,8 +91,12 @@ def main():
     lb = jax.device_get(lb)
     lbj = jnp.asarray(lb)
 
-    t_det = timed("plate detector fwd",
+    t_det = timed("plate detector fwd (XLA)",
                   lambda a: plate.apply(rec.params["plate"], a)[0], lbj)
+    if rec._front is not None:
+        timed("plate detector fwd (front)",
+              lambda a: plate.apply(rec.params["plate"], a,
+                                    front=rec._front)[0], lbj)
 
     pred, _ = jax.jit(lambda a: plate.apply(rec.params["plate"], a))(lbj)
     pred = jnp.asarray(jax.device_get(pred))
