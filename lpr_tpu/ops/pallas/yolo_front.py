@@ -189,11 +189,28 @@ def _front_kernel(x_hbm, w0, b0, w1, b1, w12, b12, wm1, bm1, wm2, bm2,
         for ref in (a0, sq, a2, dbuf, p1):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
-    # ---- DMA the input strip: quarter rows [STRIP*s, +WIN) of the planes
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(STRIP * s * CP, WIN * CP)], xw, sem)
-    dma.start()
-    dma.wait()
+    # ---- double-buffered input DMA: prefetch cell c+1's strip while
+    # computing cell c (cells iterate (b, s) with s fastest)
+    c = b * NSTRIP + s
+    slot = c % 2
+
+    def strip_copy(cell, sl):
+        cb = cell // NSTRIP
+        cs = cell % NSTRIP
+        return pltpu.make_async_copy(
+            x_hbm.at[cb, :, pl.ds(STRIP * cs * CP, WIN * CP)],
+            xw.at[sl], sem.at[sl])
+
+    @pl.when(c == 0)
+    def _():
+        strip_copy(0, 0).start()
+    nb = pl.num_programs(0) * NSTRIP
+
+    @pl.when(c + 1 < nb)
+    def _():
+        strip_copy(c + 1, (c + 1) % 2).start()
+    strip_copy(c, slot).wait()
+    xw = xw.at[slot]
 
     # ---- domain masks (lanes -> (row, col) of each grid)
     def domain_mask(nrows, row0, nvalid, step=1):
@@ -317,7 +334,7 @@ def front_fused(xp: jax.Array, w: Dict, interpret: bool = False) -> jax.Array:
             (1, 64, STRIP * COLS), lambda b, s: (b, 0, s),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((64, WIN * CP), bf),            # xw
+            pltpu.VMEM((2, 64, WIN * CP), bf),         # xw (double-buffered)
             pltpu.VMEM((144, 4 * KQ * CP), bf),        # a0 (4 planes)
             pltpu.VMEM((128, (KQ + 2) * CP), bf),      # sq: 4 stem planes
             pltpu.VMEM((288, DROWS * CP), bf),         # a1
@@ -325,7 +342,7 @@ def front_fused(xp: jax.Array, w: Dict, interpret: bool = False) -> jax.Array:
             pltpu.VMEM((64, (DROWS + 2) * CP), bf),    # p1 (rows 0/last halo)
             pltpu.VMEM((288, STRIP * CP), bf),         # a2
             pltpu.VMEM((64, STRIP * CP), bf),          # cbuf
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, w["w0"], w["b0"], w["w1"], w["b1"], w["w12"], w["b12"],
