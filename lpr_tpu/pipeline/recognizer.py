@@ -300,7 +300,12 @@ class PlateRecognizer:
     def recognize(self, frames: np.ndarray) -> List[List[Dict[str, Any]]]:
         """frames: (B, H, W, 3) uint8 RGB.  Returns per-frame lists of plate
         dicts with original-OCR and SR-OCR strings."""
-        out = jax.device_get(self.step_raw(jnp.asarray(frames)))
+        return self.assemble(jax.device_get(self.step_raw(jnp.asarray(frames))))
+
+    def assemble(self, out: Dict[str, Any]) -> List[List[Dict[str, Any]]]:
+        """Host post-processing of a fetched :meth:`step_raw` output tree
+        (split out so a serving loop can overlap the next batch's dispatch
+        with this batch's result assembly)."""
         results: List[List[Dict[str, Any]]] = []
         names = self.char_names
         B, P = out["plate_valid"].shape

@@ -157,10 +157,11 @@ class InferenceServer:
         return [f.result() for f in self.submit_many(frames)]
 
     # ------------------------------------------------------------------
-    def _collect(self) -> List:
-        """Block for one item, then fill the batch within the delay window."""
+    def _collect(self, block: bool) -> List:
+        """Grab one item (optionally waiting), then fill the batch within
+        the delay window."""
         try:
-            first = self._q.get(timeout=0.1)
+            first = self._q.get(timeout=0.1) if block else self._q.get_nowait()
         except queue.Empty:
             return []
         items = [first]
@@ -175,27 +176,68 @@ class InferenceServer:
                 break
         return items
 
-    def _loop(self):
-        while not self._stop.is_set():
-            items = self._collect()
-            if not items:
-                continue
-            n = len(items)
-            try:
-                # batch assembly inside the try: any failure here must
-                # resolve the futures, never kill the collector thread
-                frames = [it[0] for it in items]
-                pad = self.cfg.max_batch - n
-                batch = np.stack(frames + [frames[-1]] * pad)
+    def _dispatch(self, items):
+        """Assemble a batch and start its device step (async dispatch).
+        Returns (device_out, items, n, pad) or None on failure (futures are
+        resolved with the error)."""
+        import jax.numpy as jnp
+
+        n = len(items)
+        try:
+            # batch assembly inside the try: any failure here must
+            # resolve the futures, never kill the collector thread
+            frames = [it[0] for it in items]
+            pad = self.cfg.max_batch - n
+            batch = np.stack(frames + [frames[-1]] * pad)
+            if not (hasattr(self.rec, "step_raw")
+                    and hasattr(self.rec, "assemble")):
+                # plain recognizer (no split dispatch API): synchronous path
                 results = self.rec.recognize(batch)
-            except Exception as e:  # resolve futures with the error
-                for _, fut, _ in items:
-                    if not fut.done():
-                        fut.set_exception(e)
-                continue
-            now = time.perf_counter()
-            self.stats.batches += 1
-            self.stats.frames_padded += pad
-            for (frame, fut, t0), res in zip(items, results[:n]):
-                self.stats.record(now - t0)
-                fut.set_result(res)
+                now = time.perf_counter()
+                self.stats.batches += 1
+                self.stats.frames_padded += pad
+                for (frame, fut, t0), res in zip(items, results[:n]):
+                    self.stats.record(now - t0)
+                    fut.set_result(res)
+                return None
+            out = self.rec.step_raw(jnp.asarray(batch))
+        except Exception as e:
+            for _, fut, _ in items:
+                if not fut.done():
+                    fut.set_exception(e)
+            return None
+        return out, items, n, pad
+
+    def _resolve(self, pending):
+        """Fetch a dispatched batch's results and resolve its futures."""
+        import jax
+
+        out, items, n, pad = pending
+        try:
+            results = self.rec.assemble(jax.device_get(out))
+        except Exception as e:
+            for _, fut, _ in items:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        now = time.perf_counter()
+        self.stats.batches += 1
+        self.stats.frames_padded += pad
+        for (frame, fut, t0), res in zip(items, results[:n]):
+            self.stats.record(now - t0)
+            fut.set_result(res)
+
+    def _loop(self):
+        # One-deep pipeline: batch N+1's host->device transfer + compute is
+        # dispatched before batch N's results are fetched/assembled, so the
+        # host feed overlaps device execution (the async-dispatch analogue
+        # of Triton's request pipelining).
+        pending = None
+        while not self._stop.is_set():
+            items = self._collect(block=pending is None)
+            nxt = self._dispatch(items) if items else None
+            if pending is not None:
+                self._resolve(pending)
+            pending = nxt
+        if pending is not None:
+            self._resolve(pending)

@@ -10,6 +10,14 @@ one JSON line with client-side fps and the server's latency percentiles.
 Usage:
   python tools/bench_serving.py [--clients 64] [--frames 20] \
       [--max-batch 32] [--platform tpu] [--http]
+
+CAVEAT on this dev environment: the axon TPU is reached through a network
+tunnel, so each 32-frame 720p batch ships ~88 MB host->device over it —
+the measured serving fps here is the TUNNEL's bandwidth, not the engine
+(which sustains 660+ fps device-side per bench.py).  On a real TPU host
+the same loop feeds over PCIe.  The dispatch loop pipelines one batch
+deep (batch N+1's transfer+compute dispatched before batch N's results
+are fetched), which is the part this benchmark exercises functionally.
 """
 
 import argparse
