@@ -197,11 +197,16 @@ def copy_paste(img, labels_px, rng: random.Random, p: float = 0.5,
     h, w = img.shape[:2]
     mask = np.zeros((h, w), bool)
     new_rows = []
+    existing = labels_px[:, 1:5]
     for j in rng.sample(range(n), k=round(p * n)):
         l = labels_px[j]
         box = np.array([w - l[3], l[2], w - l[1], l[4]], np.float32)
-        if (bbox_ioa(box, labels_px[:, 1:5]) < 0.30).all():
+        # IoA against originals AND already-accepted pastes (the reference
+        # appends accepted labels inside the loop, so later candidates see
+        # earlier pastes too)
+        if (bbox_ioa(box, existing) < 0.30).all():
             new_rows.append([l[0], *box])
+            existing = np.concatenate([existing, box[None]], 0)
             if segments is not None and segments[j] is not None:
                 from PIL import ImageDraw
 

@@ -317,7 +317,8 @@ def _front_kernel(x_hbm, w0, b0, w1, b1, w12, b12, wm1, bm1, wm2, bm2,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def front_fused(xp: jax.Array, w: Dict, interpret: bool = False) -> jax.Array:
-    """xp: packed input (B, 24, RP*CP).  Returns (B, 184, 320, 64) bf16."""
+    """xp: packed input (B, 64, RP*CP) — 4 parity planes x 16 padded
+    channels (see pack_front_input).  Returns (B, 184, 320, 64) bf16."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

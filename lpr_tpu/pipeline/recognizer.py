@@ -149,34 +149,48 @@ class PlateRecognizer:
             from lpr_tpu.models.yolo import quantize_yolo
 
             plate_params = quantize_yolo(plate_model, plate_params)
-        self.params = {
+        self._params = {
             "plate": plate_params,
             "char": char_params,
             "lpsr": lpsr_params,
         }
-        step = self._build_step()
+        step = self._step_fn = self._build_step()
+        self._batch_sharding = None
         if mesh is not None:
             from lpr_tpu.parallel.mesh import batch_sharding, replicate, replicated
 
-            self.params = replicate(self.params, mesh)
-            bs = batch_sharding(mesh)
+            self._params = replicate(self._params, mesh)
+            self._batch_sharding = bs = batch_sharding(mesh)
             self._step = jax.jit(step, in_shardings=(replicated(mesh), bs))
-            if cfg.freeze_params:
-                params = self.params
-                self.step_frozen = lambda frames: step(params, frames)
-                self._step_frozen = jax.jit(self.step_frozen,
-                                            in_shardings=(bs,))
         else:
             self._step = jax.jit(step)
-            if cfg.freeze_params:
-                params = self.params
-                # plain closure (for embedding in outer jits, e.g. the bench
-                # scan) + its jitted form for direct calls
-                self.step_frozen = lambda frames: step(params, frames)
-                self._step_frozen = jax.jit(self.step_frozen)
-        if not cfg.freeze_params:
+        self._rebuild_frozen()
+
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        """Reassigning params rebuilds the frozen-weights program, so weight
+        hot-swap works with ``cfg.freeze_params`` (the default)."""
+        self._params = value
+        self._rebuild_frozen()
+
+    def _rebuild_frozen(self):
+        if not self.cfg.freeze_params:
             self.step_frozen = None
             self._step_frozen = None
+            return
+        params, step = self._params, self._step_fn
+        # plain closure (for embedding in outer jits, e.g. the bench scan)
+        # + its jitted form for direct calls
+        self.step_frozen = lambda frames: step(params, frames)
+        if self._batch_sharding is not None:
+            self._step_frozen = jax.jit(self.step_frozen,
+                                        in_shardings=(self._batch_sharding,))
+        else:
+            self._step_frozen = jax.jit(self.step_frozen)
 
     # ------------------------------------------------------------------
     def _build_step(self):

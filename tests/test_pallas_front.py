@@ -85,6 +85,23 @@ def test_front_pack_from_params_matches_model_layers():
     assert err.max() < 0.03, err.max()
 
 
+def test_pack_front_frames_matches_s2d_pack():
+    """The production frame packer (one fused transpose from raw frames,
+    used by front_apply in the serving pipeline) must encode exactly the
+    same quarter-grid layout as pack_front_input over an explicit
+    pixel_unshuffle — pins the c*4+i*2+j S2D channel order."""
+    from lpr_tpu.ops import nn as tnn
+    from lpr_tpu.ops.pallas.yolo_front import pack_front_frames
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, 736, 1280, 3).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    a = np.asarray(pack_front_frames(x))
+    b = np.asarray(pack_front_input(tnn.pixel_unshuffle(x, 2)))
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
+
+
 def test_front_pack_rejects_non_matching_model():
     from lpr_tpu.models.yolo import YoloSpec, build_yolo
     from lpr_tpu.ops.pallas.yolo_front import front_pack_from_params
