@@ -4,9 +4,10 @@ The reference exports its three models to ONNX for Triton serving
 (export_onnx.py:38-99: sr/detection/ocr, opset 16, dynamic axes).  This CLI
 unifies every export surface the TPU framework supports:
 
-- ``--format onnx``      (sr only): dependency-free ONNX emit with the
-  reference's exact serving contract (input_image/output_image, dynamic
-  batch/H/W) — see :mod:`lpr_tpu.weights.onnx_export`.
+- ``--format onnx``: dependency-free ONNX emit with the reference's exact
+  serving contract — sr (input_image/output_image, dynamic batch/H/W) and
+  detection/ocr (input_image/predictions, decode baked in, NMS excluded,
+  dynamic batch) — see :mod:`lpr_tpu.weights.onnx_export`.
 - ``--format stablehlo``: the TPU-native portable artifact for any of the
   three model types (jax.export bytes; see weights/export_stablehlo.py).
 - ``--format torch``     (sr only): reference-loadable .pth state dict.
@@ -76,9 +77,16 @@ def main(argv=None):
 
         model, params, _ = load_yolo_torch(args.weights)
         if fmt == "onnx":
-            raise SystemExit(
-                "ONNX emit currently covers the sr model; export detection/"
-                "ocr as stablehlo (TPU-native) or npz instead")
+            from lpr_tpu.weights.onnx_export import export_yolo_onnx
+
+            if args.size:
+                h, w = args.size
+            else:
+                h, w = (1280, 1280) if args.model_type == "detection" \
+                    else (128, 128)
+            export_yolo_onnx(model, params, args.output, hw=(h, w))
+            print(f"exported {args.model_type} (onnx) -> {args.output}")
+            return
         if fmt == "torch":
             raise SystemExit("torch re-export covers the sr model only")
         if fmt == "npz":

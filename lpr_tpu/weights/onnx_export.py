@@ -331,6 +331,293 @@ class _LpsrEmitter:
         return g.serialize([vin], [vout], opset=16)
 
 
+# --------------------------------------------------------------------------
+# YOLO detector graph (decode included, NMS excluded — the reference's
+# export surface for the detection/ocr models, my_utils/export_onnx.py:66-99:
+# input "input_image" (B,3,H,W), output "predictions" (B,N,5+nc), opset 16,
+# dynamic batch only)
+
+
+class _YoloEmitter:
+    """Walk a :class:`lpr_tpu.models.yolo.YoloModel` layer plan and emit the
+    equivalent ONNX graph at a fixed spatial size (dynamic batch).
+
+    Covers the layer zoo the two reference detectors use: Conv (incl. the
+    v6 s2d stem emitted as its plain k6/s2 torch form), DWConv, Focus,
+    Bottleneck, C3, C3TR (transformer block), SPP, SPPF, Upsample, Concat,
+    Detect with fused decode.  Conv params must be BN-fused ({"w","b"}) or
+    carry a "bn" dict, which is folded at emit time.
+    """
+
+    def __init__(self, model, params, hw):
+        self.g = OnnxGraph("yolo")
+        self.model = model
+        self.params = params
+        self.hw = tuple(hw)
+
+    # -- primitives --------------------------------------------------------
+    def conv(self, x, name, p, k, s=1, pad=None, groups=1, act="silu"):
+        g = self.g
+        w = np.asarray(p["w"], np.float32)
+        b = p.get("b")
+        if "bn" in p:
+            from lpr_tpu.ops import nn as tnn
+
+            bn = p["bn"]
+            w, b = tnn.fuse_conv_bn(w, b, bn["gamma"], bn["beta"],
+                                    bn["mean"], bn["var"])
+        ins = [x, g.init_tensor(f"{name}.weight", _to_oihw(w))]
+        if b is not None:
+            ins.append(g.init_tensor(f"{name}.bias", np.asarray(b, np.float32)))
+        pd = k // 2 if pad is None else pad
+        y = g.op("Conv", ins, attrs=[
+            _attr("dilations", ints=[1, 1]),
+            _attr("group", i=groups),
+            _attr("kernel_shape", ints=[k, k]),
+            _attr("pads", ints=[pd, pd, pd, pd]),
+            _attr("strides", ints=[s, s]),
+        ])
+        if act == "silu":
+            y = g.op("Mul", [y, g.op("Sigmoid", [y])])
+        elif act == "leaky":
+            y = g.op("LeakyRelu", [y], attrs=[_attr("alpha", f=0.1)])
+        return y
+
+    def sconst(self, v):
+        return self.g.init_tensor(self.g.fresh("c"),
+                                  np.asarray(v, np.float32))
+
+    def linear(self, x, name, w, b=None):
+        """(B, L, Cin) @ (Cin, Cout) [+ b]."""
+        g = self.g
+        y = g.op("MatMul", [x, g.init_tensor(f"{name}.weight",
+                                             np.asarray(w, np.float32))])
+        if b is not None:
+            y = g.op("Add", [y, g.init_tensor(f"{name}.bias",
+                                              np.asarray(b, np.float32))])
+        return y
+
+    def reshape(self, x, dims):
+        return self.g.op("Reshape", [x, self.g.const_i64(dims)])
+
+    def transpose(self, x, perm):
+        return self.g.op("Transpose", [x], attrs=[_attr("perm", ints=perm)])
+
+    # -- blocks ------------------------------------------------------------
+    def bottleneck(self, x, name, p, lay_c1, lay_c2, shortcut, g_=1):
+        y = self.conv(x, f"{name}.cv1", p["cv1"], 1)
+        y = self.conv(y, f"{name}.cv2", p["cv2"], 3, groups=g_)
+        if shortcut and lay_c1 == lay_c2:
+            y = self.g.op("Add", [x, y])
+        return y
+
+    def c3(self, x, name, p, lay):
+        y1 = self.conv(x, f"{name}.cv1", p["cv1"], 1)
+        c_ = int(lay.c2 * lay.e)
+        for j, bp in enumerate(p["m"]):
+            y1 = self.bottleneck(y1, f"{name}.m.{j}", bp, c_, c_,
+                                 lay.shortcut, lay.g)
+        y2 = self.conv(x, f"{name}.cv2", p["cv2"], 1)
+        y = self.g.op("Concat", [y1, y2], attrs=[_attr("axis", i=1)])
+        return self.conv(y, f"{name}.cv3", p["cv3"], 1)
+
+    def transformer(self, x, name, p, lay_tb, h, w):
+        """TransformerBlockL on an NCHW map (tokens = row-major H*W)."""
+        g = self.g
+        c = lay_tb.c2
+        nh = lay_tb.num_heads
+        dk = c // nh
+        L = h * w
+        if "conv" in p:
+            x = self.conv(x, f"{name}.conv", p["conv"], 1)
+        t = self.transpose(self.reshape(x, [0, c, L]), [0, 2, 1])  # (B,L,C)
+        pos = self.linear(t, f"{name}.linear", p["linear"]["w"],
+                          p["linear"]["b"])
+        t = g.op("Add", [t, pos])
+        for j, lp in enumerate(p["tr"]):
+            q = self.linear(t, f"{name}.tr.{j}.q", lp["q"])
+            k = self.linear(t, f"{name}.tr.{j}.k", lp["k"])
+            v = self.linear(t, f"{name}.tr.{j}.v", lp["v"])
+            ipw = np.asarray(lp["in_proj_w"], np.float32)
+            ipb = np.asarray(lp["in_proj_b"], np.float32)
+            q = self.linear(q, f"{name}.tr.{j}.ipq", ipw[:, :c], ipb[:c])
+            k = self.linear(k, f"{name}.tr.{j}.ipk", ipw[:, c:2 * c],
+                            ipb[c:2 * c])
+            v = self.linear(v, f"{name}.tr.{j}.ipv", ipw[:, 2 * c:],
+                            ipb[2 * c:])
+
+            def heads(z):
+                return self.transpose(self.reshape(z, [0, L, nh, dk]),
+                                      [0, 2, 1, 3])  # (B,h,L,dk)
+
+            q = g.op("Mul", [heads(q), self.sconst(1.0 / np.sqrt(dk))])
+            att = g.op("MatMul", [q, self.transpose(heads(k), [0, 1, 3, 2])])
+            att = g.op("Softmax", [att], attrs=[_attr("axis", i=-1)])
+            o = g.op("MatMul", [att, heads(v)])
+            o = self.reshape(self.transpose(o, [0, 2, 1, 3]), [0, L, c])
+            o = self.linear(o, f"{name}.tr.{j}.out_proj", lp["out_proj_w"],
+                            lp["out_proj_b"])
+            t = g.op("Add", [o, t])
+            f = self.linear(self.linear(t, f"{name}.tr.{j}.fc1", lp["fc1"]),
+                            f"{name}.tr.{j}.fc2", lp["fc2"])
+            t = g.op("Add", [f, t])
+        return self.reshape(self.transpose(t, [0, 2, 1]), [0, c, h, w])
+
+    def maxpool(self, x, k):
+        return self.g.op("MaxPool", [x], attrs=[
+            _attr("kernel_shape", ints=[k, k]),
+            _attr("pads", ints=[k // 2] * 4),
+            _attr("strides", ints=[1, 1]),
+        ])
+
+    def detect(self, xs, name, p, lay, hws):
+        g = self.g
+        outs = []
+        for l, (x, (h, w)) in enumerate(zip(xs, hws)):
+            y = self.conv(x, f"{name}.m.{l}", p["m"][l], 1, act="none")
+            y = self.reshape(y, [0, lay.na, lay.no, h, w])
+            y = self.transpose(y, [0, 1, 3, 4, 2])       # (B,na,ny,nx,no)
+            sig = g.op("Sigmoid", [y])
+            imax = np.iinfo(np.int64).max
+            xy = g.op("Slice", [sig, g.const_i64([0]), g.const_i64([2]),
+                                g.const_i64([4])])
+            wh = g.op("Slice", [sig, g.const_i64([2]), g.const_i64([4]),
+                                g.const_i64([4])])
+            rest = g.op("Slice", [sig, g.const_i64([4]), g.const_i64([imax]),
+                                  g.const_i64([4])])
+            s = float(lay.strides[l])
+            gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                                 np.arange(w, dtype=np.float32), indexing="ij")
+            grid = np.stack([gx, gy], -1)[None, None]    # (1,1,ny,nx,2)
+            anc = (np.asarray(lay.anchors[l], np.float32) * s
+                   ).reshape(1, lay.na, 1, 1, 2)         # px
+            xy = g.op("Mul", [xy, self.sconst(2.0)])
+            xy = g.op("Sub", [xy, self.sconst(0.5)])
+            xy = g.op("Add", [xy, g.init_tensor(g.fresh("grid"), grid)])
+            xy = g.op("Mul", [xy, self.sconst(s)])
+            wh = g.op("Mul", [wh, self.sconst(2.0)])
+            wh = g.op("Mul", [wh, wh])
+            wh = g.op("Mul", [wh, g.init_tensor(g.fresh("anchor"), anc)])
+            y = g.op("Concat", [xy, wh, rest], attrs=[_attr("axis", i=4)])
+            outs.append(self.reshape(y, [0, lay.na * h * w, lay.no]))
+        return g.op("Concat", outs, attrs=[_attr("axis", i=1)],
+                    out="predictions")
+
+    # -- plan walk ---------------------------------------------------------
+    def build(self) -> bytes:
+        from lpr_tpu.models import yolo as Y
+
+        g = self.g
+        saved = {}          # layer index -> (tensor name, (c, h, w))
+        cur = ("input_image", (3, *self.hw))
+        nlayers = len(self.model.layers)
+        for lay, p in zip(self.model.layers, self.params):
+            name = f"model.{lay.i}"
+            if lay.f != -1:
+                if isinstance(lay.f, int):
+                    cur = saved[lay.f % nlayers] if lay.f >= 0 else cur
+                else:
+                    cur = [cur if j == -1 else saved[j % nlayers]
+                           for j in lay.f]
+            if isinstance(lay, Y.Focus):
+                x, (c, h, w) = cur
+                imax = np.iinfo(np.int64).max
+                parts = []
+                for oh, ow in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                    parts.append(g.op("Slice", [
+                        x, g.const_i64([oh, ow]), g.const_i64([imax, imax]),
+                        g.const_i64([2, 3]), g.const_i64([2, 2])]))
+                z = g.op("Concat", parts, attrs=[_attr("axis", i=1)])
+                y = self.conv(z, f"{name}.conv", p, lay.k, lay.s)
+                cur = (y, (lay.c2, h // 2 // lay.s, w // 2 // lay.s))
+            elif isinstance(lay, Y.Conv):  # incl. DWConv
+                x, (c, h, w) = cur
+                pd = lay.k // 2 if lay.pad is None else lay.pad
+                y = self.conv(x, f"{name}.conv", p, lay.k, lay.s, pd,
+                              lay.g, lay.act)
+                oh = (h + 2 * pd - lay.k) // lay.s + 1
+                ow = (w + 2 * pd - lay.k) // lay.s + 1
+                cur = (y, (lay.c2, oh, ow))
+            elif isinstance(lay, Y.C3TR):
+                x, (c, h, w) = cur
+                y1 = self.conv(x, f"{name}.cv1", p["cv1"], 1)
+                y1 = self.transformer(y1, f"{name}.m", p["m"], lay.tb, h, w)
+                y2 = self.conv(x, f"{name}.cv2", p["cv2"], 1)
+                y = g.op("Concat", [y1, y2], attrs=[_attr("axis", i=1)])
+                y = self.conv(y, f"{name}.cv3", p["cv3"], 1)
+                cur = (y, (lay.c2, h, w))
+            elif isinstance(lay, Y.C3) and not isinstance(
+                    lay, (Y.C3SPP, Y.C3Ghost)):
+                x, (c, h, w) = cur
+                cur = (self.c3(x, name, p, lay), (lay.c2, h, w))
+            elif isinstance(lay, Y.Bottleneck):
+                x, (c, h, w) = cur
+                cur = (self.bottleneck(x, name, p, lay.c1, lay.c2,
+                                       lay.shortcut, lay.g),
+                       (lay.c2, h, w))
+            elif isinstance(lay, Y.SPP):
+                x, (c, h, w) = cur
+                y = self.conv(x, f"{name}.cv1", p["cv1"], 1)
+                pools = [self.maxpool(y, kk) for kk in lay.k]
+                y = g.op("Concat", [y] + pools, attrs=[_attr("axis", i=1)])
+                cur = (self.conv(y, f"{name}.cv2", p["cv2"], 1),
+                       (lay.c2, h, w))
+            elif isinstance(lay, Y.SPPF):
+                x, (c, h, w) = cur
+                y = self.conv(x, f"{name}.cv1", p["cv1"], 1)
+                y1 = self.maxpool(y, lay.k)
+                y2 = self.maxpool(y1, lay.k)
+                y3 = self.maxpool(y2, lay.k)
+                y = g.op("Concat", [y, y1, y2, y3],
+                         attrs=[_attr("axis", i=1)])
+                cur = (self.conv(y, f"{name}.cv2", p["cv2"], 1),
+                       (lay.c2, h, w))
+            elif isinstance(lay, Y.Upsample):
+                x, (c, h, w) = cur
+                scales = g.init_tensor(
+                    g.fresh("scales"),
+                    np.asarray([1, 1, lay.scale, lay.scale], np.float32))
+                y = g.op("Resize", [x, "", scales], attrs=[
+                    _attr("mode", s="nearest"),
+                    _attr("nearest_mode", s="floor"),
+                    _attr("coordinate_transformation_mode", s="asymmetric"),
+                ])
+                cur = (y, (c, h * lay.scale, w * lay.scale))
+            elif isinstance(lay, Y.Concat):
+                names = [t for t, _ in cur]
+                cs = [sh[0] for _, sh in cur]
+                h, w = cur[0][1][1:]
+                cur = (g.op("Concat", names, attrs=[_attr("axis", i=1)]),
+                       (sum(cs), h, w))
+            elif isinstance(lay, Y.Detect):
+                xs = [t for t, _ in cur]
+                hws = [sh[1:] for _, sh in cur]
+                out = self.detect(xs, name, p, lay, hws)
+                n_total = sum(lay.na * h * w for (h, w) in hws)
+                cur = (out, (n_total, lay.no))
+            else:
+                raise NotImplementedError(
+                    f"onnx emit for layer {type(lay).__name__}")
+            if lay.i in self.model.save:
+                saved[lay.i] = cur
+
+        n_total, no = cur[1]
+        vin = _value_info("input_image", ["batch_size", 3, *self.hw])
+        vout = _value_info("predictions", ["batch_size", n_total, no])
+        return g.serialize([vin], [vout], opset=16)
+
+
+def export_yolo_onnx(model, params, path: str, hw=(128, 128)) -> None:
+    """Serialize a YoloModel + params as a reference-compatible detector
+    ONNX graph: decode baked in, NMS excluded, dynamic batch, input
+    "input_image" / output "predictions" — the exact export surface of
+    reference ``my_utils/export_onnx.py:66-99`` (128x128 for the ocr model,
+    1280x1280 for the plate detector, ``onnx_models/*/config.pbtxt``)."""
+    data = _YoloEmitter(model, params, hw).build()
+    with open(path, "wb") as f:
+        f.write(data)
+
+
 def export_lpsr_onnx(params: Any, path: str, cfg=None) -> None:
     """Serialize native LPSR params as a reference-compatible model.onnx
     (same input/output names, opset, dynamic axes, and initializer naming as

@@ -164,6 +164,43 @@ def run_onnx(graph: Dict[str, Any], feeds: Dict[str, np.ndarray],
             y = a.get("value")
         elif op == "Identity":
             y = x
+        elif op == "MatMul":
+            y = np.asarray(x, np.float32) @ np.asarray(get(ins[1]), np.float32)
+        elif op == "Softmax":
+            ax = int(a.get("axis", -1))
+            z = np.asarray(x, np.float32)
+            z = z - z.max(axis=ax, keepdims=True)
+            e = np.exp(z)
+            y = e / e.sum(axis=ax, keepdims=True)
+        elif op == "LeakyRelu":
+            alpha = float(a.get("alpha", 0.01))
+            y = np.where(x > 0, x, alpha * np.asarray(x, np.float32))
+        elif op == "MaxPool":
+            k = a["kernel_shape"]
+            pads = a.get("pads", [0] * 4)
+            st = a.get("strides", [1, 1])
+            z = np.pad(np.asarray(x, np.float32),
+                       ((0, 0), (0, 0), (pads[0], pads[2]),
+                        (pads[1], pads[3])),
+                       constant_values=-np.inf)
+            n, c, h, w = z.shape
+            oh = (h - k[0]) // st[0] + 1
+            ow = (w - k[1]) // st[1] + 1
+            s0, s1, s2, s3 = z.strides
+            win = np.lib.stride_tricks.as_strided(
+                z, (n, c, oh, ow, k[0], k[1]),
+                (s0, s1, s2 * st[0], s3 * st[1], s2, s3), writeable=False)
+            y = win.max(axis=(4, 5))
+        elif op == "Resize":
+            scales = get(ins[2]) if len(ins) > 2 and ins[2] else None
+            mode = a.get("mode", b"nearest")
+            mode = mode.decode() if isinstance(mode, bytes) else str(mode)
+            assert mode == "nearest", f"Resize mode {mode}"
+            y = np.asarray(x)
+            for ax, sc in enumerate(np.asarray(scales, np.float32)):
+                r = int(round(float(sc)))
+                if r != 1:
+                    y = np.repeat(y, r, axis=ax)
         else:
             raise NotImplementedError(f"onnx op {op}")
         env[node["outputs"][0]] = y

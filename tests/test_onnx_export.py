@@ -101,3 +101,67 @@ def test_wire_format_decodes_with_real_protobuf(exported):
     assert r.returncode == 0, r.stderr
     assert 'op_type: "DepthToSpace"' in r.stdout
     assert 'producer_name: "lpr_tpu"' in r.stdout
+
+
+# --------------------------------------------------------------------------
+# YOLO detector emit (reference my_utils/export_onnx.py:66-99 surface)
+
+
+def _yolo_emit_roundtrip(model, params, hw, x):
+    import tempfile
+
+    from lpr_tpu.weights.onnx_export import export_yolo_onnx
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "det.onnx")
+        export_yolo_onnx(model, params, path, hw=hw)
+        g = load_onnx(path)
+    (pred_onnx,) = run_onnx(g, {"input_image": x})
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    pred_jax = np.asarray(
+        jax.jit(lambda p, z: model.apply(p, z))(params, x_nhwc)[0])
+    return pred_onnx, pred_jax
+
+
+def test_yolo_onnx_emit_small_multiscale():
+    """3-scale v6-stem model (Conv s2d stem, C3, SPPF, Upsample, Concat,
+    Detect decode) emits and executes to JAX parity with dynamic batch."""
+    from lpr_tpu.models.yolo import build_yolo, yolov5_spec
+    from lpr_tpu.ops import nn as tnn
+
+    tnn.set_default_precision("highest")
+    try:
+        model = build_yolo(yolov5_spec(nc=4, depth=0.33, width=0.25),
+                           strides=(8, 16, 32))
+        params = model.init(jax.random.PRNGKey(0))
+        x = np.random.RandomState(0).rand(2, 3, 96, 96).astype(np.float32)
+        pred_onnx, pred_jax = _yolo_emit_roundtrip(model, params, (96, 96), x)
+    finally:
+        tnn.set_default_precision(None)
+    assert pred_onnx.shape == pred_jax.shape
+    # first axis dynamic: both batch entries present and distinct
+    # (random-init outputs are bias-dominated, so compare exactly)
+    assert not np.array_equal(pred_onnx[0], pred_onnx[1])
+    np.testing.assert_allclose(pred_onnx, pred_jax, atol=1e-4)
+
+
+@pytest.mark.slow
+@requires_ref
+def test_char_detector_onnx_emit_parity():
+    """The real char.pt OCR graph (Focus, C3TR transformer, SPP, evolved
+    2-anchor single-scale Detect) emits with the reference's serving
+    contract (input_image -> predictions (B,512,41), decode in-graph) and
+    executes to 1e-4 of model.apply."""
+    from lpr_tpu.models.yolo import load_char_ocr
+    from lpr_tpu.ops import nn as tnn
+
+    tnn.set_default_precision("highest")
+    try:
+        model, params, _ = load_char_ocr("/root/reference/weights/char.pt")
+        x = np.random.RandomState(1).rand(1, 3, 128, 128).astype(np.float32)
+        pred_onnx, pred_jax = _yolo_emit_roundtrip(model, params,
+                                                   (128, 128), x)
+    finally:
+        tnn.set_default_precision(None)
+    assert pred_onnx.shape == (1, 512, 41)
+    np.testing.assert_allclose(pred_onnx, pred_jax, atol=1e-4)
