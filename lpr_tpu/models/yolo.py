@@ -942,9 +942,16 @@ class YoloModel:
         :func:`lpr_tpu.ops.pallas.yolo_front.front_pack_from_params` —
         runs layers 0-2 through the fused Pallas front-end kernel
         (inference only; requires the 736x1280 geometry and bf16 input)."""
-        use_front = (front is not None and not train
-                     and x.shape[1:] == (736, 1280, 3)
-                     and x.dtype == jnp.bfloat16)
+        use_front = False
+        if front is not None and not train and x.dtype == jnp.bfloat16 \
+                and x.ndim == 4 and x.shape[3] == 3:
+            from lpr_tpu.ops.pallas.yolo_front import front_geom
+
+            try:
+                front_geom(x.shape[1], x.shape[2])
+                use_front = True
+            except ValueError:
+                pass
         ctx: Optional[Dict[int, Any]] = {} if train else None
         _BN_CTX[0] = ctx
         try:

@@ -39,7 +39,7 @@ lpr_tpu.models.yolo.build_yolo with the S2D stem transform.
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,24 +47,52 @@ import numpy as np
 
 from lpr_tpu.ops import nn as tnn
 
-# grid geometry constants (detector at 736x1280 -> s2d plane 368x640)
-ROWS = 368          # s2d rows
-COLS = 320          # per parity plane
-# padded plane cols (4 left, 60 right): 384 = 3*128 keeps every row-major
-# lane offset of a whole row 128-aligned, which Mosaic requires for the
-# HBM->VMEM strip DMA slices
-CP = 384
-STRIP = 8           # C3 output rows per grid cell
-C3ROWS = 184        # output rows (368 / 2)
-NSTRIP = C3ROWS // STRIP
-DROWS = STRIP + 2       # down1 rows computed per strip
-# quarter-grid (row-parity x col-parity) geometry: the input is packed as
-# 48 channel planes (2 row-par x 2 col-par x 12 s2d ch) on a 184-row
-# quarter grid, so BOTH stride-2 axes of the downsample reduce to plane
-# selection + uniform lane shifts
-KQ = STRIP + 3          # stem quarter-rows computed per strip (11)
-WIN = KQ + 4            # input window quarter-rows per strip (15)
-RP = 8 * (NSTRIP - 1) + WIN   # padded quarter rows (191: 4 top, 3 bottom)
+
+class FrontGeom(NamedTuple):
+    """Grid geometry for one detector input size (see module docstring).
+
+    Derived, not hard-coded, so both the production rect 736x1280 path and
+    the reference-parity square 1280x1280 path run the fused kernel."""
+
+    rows: int     # s2d rows (H / 2)
+    cols: int     # per parity plane (W / 4)
+    cp: int       # padded plane cols (4 left + right pad to a 128 multiple)
+    strip: int    # C3 output rows per grid cell
+    c3rows: int   # output rows (H / 4)
+    nstrip: int
+    drows: int    # down1 rows computed per strip
+    kq: int       # stem quarter-rows computed per strip
+    win: int      # input window quarter-rows per strip
+    rp: int       # padded quarter rows
+
+
+def front_geom(h: int, w: int, strip: int = 8) -> FrontGeom:
+    """Geometry for a (h, w) detector input.  Requires h % 32 == 0 (whole
+    strips) and w % 64 == 0 (128-aligned output strip rows)."""
+    if h % (4 * strip) or w % 64:
+        raise ValueError(f"fused front needs H % {4 * strip} == 0 and "
+                         f"W % 64 == 0, got {(h, w)}")
+    cols = w // 4
+    # padded plane cols (4 left + pad right): multiple of 128 keeps every
+    # row's lane offset 128-aligned, which Mosaic requires for the
+    # HBM->VMEM strip DMA slices (needs >= 1 spare col for the +1 shift)
+    cp = 128 * ((cols + 8 + 127) // 128)
+    c3rows = h // 4
+    kq = strip + 3
+    win = kq + 4
+    return FrontGeom(
+        rows=h // 2, cols=cols, cp=cp, strip=strip, c3rows=c3rows,
+        nstrip=c3rows // strip, drows=strip + 2, kq=kq, win=win,
+        rp=strip * (c3rows // strip - 1) + win,
+    )
+
+
+# default geometry (the benched production path, detector at 736x1280 ->
+# s2d plane 368x640); module-level aliases kept for readability/tests
+_G0 = front_geom(736, 1280)
+ROWS, COLS, CP = _G0.rows, _G0.cols, _G0.cp
+STRIP, C3ROWS, NSTRIP = _G0.strip, _G0.c3rows, _G0.nstrip
+DROWS, KQ, WIN, RP = _G0.drows, _G0.kq, _G0.win, _G0.rp
 
 
 def _silu_f32(x):
@@ -73,7 +101,7 @@ def _silu_f32(x):
 
 
 def pack_front_frames(x: jax.Array) -> jax.Array:
-    """Letterboxed frames (B, 736, 1280, 3) -> (B, 48, RP*CP) quarter-grid
+    """Letterboxed frames (B, H, W, 3) -> (B, 64, RP*CP) quarter-grid
     parity-packed planes, one XLA transpose.
 
     Plane channel index = rho*24 + pp*12 + c*4 + i*2 + j where (rho, pp)
@@ -81,26 +109,28 @@ def pack_front_frames(x: jax.Array) -> jax.Array:
     ``tnn.pixel_unshuffle``: plane[ch, k, ce] = img[4k+2*rho+i,
     4*ce+2*pp+j, c]."""
     B = x.shape[0]
-    z = x.reshape(B, 184, 2, 2, 320, 2, 2, 3)   # b k rho i ce pp j c
+    g = front_geom(x.shape[1], x.shape[2])
+    z = x.reshape(B, g.c3rows, 2, 2, g.cols, 2, 2, 3)   # b k rho i ce pp j c
     z = jnp.transpose(z, (0, 2, 5, 7, 3, 6, 1, 4))  # b rho pp c i j k ce
-    z = z.reshape(B, 4, 12, 184, 320)
+    z = z.reshape(B, 4, 12, g.c3rows, g.cols)
     # pad each plane's channel block 12 -> 16 so every in-kernel plane
     # read is sublane-tile aligned (bf16 tiles are 16 sublanes)
-    z = jnp.pad(z, ((0, 0), (0, 0), (0, 4), (4, RP - 184 - 4),
-                    (4, CP - COLS - 4)))
-    return z.reshape(B, 64, RP * CP)
+    z = jnp.pad(z, ((0, 0), (0, 0), (0, 4), (4, g.rp - g.c3rows - 4),
+                    (4, g.cp - g.cols - 4)))
+    return z.reshape(B, 64, g.rp * g.cp)
 
 
 def pack_front_input(x_s2d: jax.Array) -> jax.Array:
-    """(B, 368, 640, 12) s2d plane -> (B, 48, RP*CP) (test convenience;
+    """(B, H/2, W/2, 12) s2d plane -> (B, 64, RP*CP) (test convenience;
     production uses :func:`pack_front_frames` on the raw frames)."""
     B = x_s2d.shape[0]
-    z = x_s2d.reshape(B, 184, 2, 320, 2, 12)    # b k rho ce pp ch
+    g = front_geom(x_s2d.shape[1] * 2, x_s2d.shape[2] * 2)
+    z = x_s2d.reshape(B, g.c3rows, 2, g.cols, 2, 12)    # b k rho ce pp ch
     z = jnp.transpose(z, (0, 2, 4, 5, 1, 3))     # b rho pp ch k ce
-    z = z.reshape(B, 4, 12, 184, 320)
-    z = jnp.pad(z, ((0, 0), (0, 0), (0, 4), (4, RP - 184 - 4),
-                    (4, CP - COLS - 4)))
-    return z.reshape(B, 64, RP * CP)
+    z = z.reshape(B, 4, 12, g.c3rows, g.cols)
+    z = jnp.pad(z, ((0, 0), (0, 0), (0, 4), (4, g.rp - g.c3rows - 4),
+                    (4, g.cp - g.cols - 4)))
+    return z.reshape(B, 64, g.rp * g.cp)
 
 
 def _pad16(w2d: np.ndarray) -> np.ndarray:
@@ -171,10 +201,11 @@ _TAP_EVEN = ((1, -1), (0, 0), (1, 0))   # output on even parity
 _TAP_ODD = ((0, 0), (1, 0), (0, 1))     # output on odd parity
 
 
-def _front_kernel(x_hbm, w0, b0, w1, b1, w12, b12, wm1, bm1, wm2, bm2,
-                  w3, b3, out_ref, xw, a0, sq, a1, dbuf, p1,
-                  a2, cbuf, sem):
-    """One (image b, strip s) cell.  See module docstring for geometry."""
+def _front_kernel(g: FrontGeom, x_hbm, w0, b0, w1, b1, w12, b12, wm1,
+                  bm1, wm2, bm2, w3, b3, out_ref, xw, a0, sq, a1, dbuf,
+                  p1, a2, cbuf, sem):
+    """One (image b, strip s) cell of geometry ``g`` (see module
+    docstring)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -191,20 +222,20 @@ def _front_kernel(x_hbm, w0, b0, w1, b1, w12, b12, wm1, bm1, wm2, bm2,
 
     # ---- double-buffered input DMA: prefetch cell c+1's strip while
     # computing cell c (cells iterate (b, s) with s fastest)
-    c = b * NSTRIP + s
+    c = b * g.nstrip + s
     slot = c % 2
 
     def strip_copy(cell, sl):
-        cb = cell // NSTRIP
-        cs = cell % NSTRIP
+        cb = cell // g.nstrip
+        cs = cell % g.nstrip
         return pltpu.make_async_copy(
-            x_hbm.at[cb, :, pl.ds(STRIP * cs * CP, WIN * CP)],
+            x_hbm.at[cb, :, pl.ds(g.strip * cs * g.cp, g.win * g.cp)],
             xw.at[sl], sem.at[sl])
 
     @pl.when(c == 0)
     def _():
         strip_copy(0, 0).start()
-    nb = pl.num_programs(0) * NSTRIP
+    nb = pl.num_programs(0) * g.nstrip
 
     @pl.when(c + 1 < nb)
     def _():
@@ -214,18 +245,18 @@ def _front_kernel(x_hbm, w0, b0, w1, b1, w12, b12, wm1, bm1, wm2, bm2,
 
     # ---- domain masks (lanes -> (row, col) of each grid)
     def domain_mask(nrows, row0, nvalid, step=1):
-        # q in [4, 4+COLS) and global row row0 + step*r in [0, nvalid)
-        l = jax.lax.broadcasted_iota(jnp.int32, (1, nrows * CP), 1)
-        q = l % CP
-        t = row0 + step * (l // CP)
-        return (q >= 4) & (q < 4 + COLS) & (t >= 0) & (t < nvalid)
+        # q in [4, 4+g.cols) and global row row0 + step*r in [0, nvalid)
+        l = jax.lax.broadcasted_iota(jnp.int32, (1, nrows * g.cp), 1)
+        q = l % g.cp
+        t = row0 + step * (l // g.cp)
+        return (q >= 4) & (q < 4 + g.cols) & (t >= 0) & (t < nvalid)
 
     # ---- stem on quarter grids: 4 output planes (rho, pi), 36 aligned
-    # plane-shift copies into one (144, 4*KQ*CP) im2col, ONE matmul.
-    # Output plane row a (0..KQ) is quarter-row k = STRIP*s + a - 2
+    # plane-shift copies into one (144, 4*g.kq*g.cp) im2col, ONE matmul.
+    # Output plane row a (0..KQ) is quarter-row k = g.strip*s + a - 2
     # (s2d row t = 2k + rho).
     W0 = w0[...]
-    NQ = KQ * CP
+    NQ = g.kq * g.cp
     for rho in (0, 1):
         rtap = _TAP_EVEN if rho == 0 else _TAP_ODD
         for pi in (0, 1):
@@ -237,7 +268,7 @@ def _front_kernel(x_hbm, w0, b0, w1, b1, w12, b12, wm1, bm1, wm2, bm2,
                     ps, cd = ctap[dx]
                     k = dr * 3 + dx
                     src = 16 * (2 * rs + ps)
-                    base = (2 + kd) * CP + cd
+                    base = (2 + kd) * g.cp + cd
                     a0[16 * k:16 * k + 12, off:off + NQ] = (
                         xw[src:src + 12, base:base + NQ])
     y4 = jnp.dot(W0, a0[...], preferred_element_type=jnp.float32)
@@ -245,110 +276,114 @@ def _front_kernel(x_hbm, w0, b0, w1, b1, w12, b12, wm1, bm1, wm2, bm2,
     for rho in (0, 1):
         for pi in (0, 1):
             off = (2 * rho + pi) * NQ
-            ok = domain_mask(KQ, 2 * (STRIP * s - 2) + rho, ROWS, step=2)
+            ok = domain_mask(g.kq, 2 * (g.strip * s - 2) + rho, g.rows, step=2)
             # plane (rho, pi) lives at sq rows [32*(2rho+pi), +32); plane
-            # row a stored at lane (a+1)*CP (rows 0 / KQ+1 are zero halo)
+            # row a stored at lane (a+1)*g.cp (rows 0 / g.kq+1 are zero halo)
             pr = 32 * (2 * rho + pi)
-            sq[pr:pr + 32, CP:(KQ + 1) * CP] = (
+            sq[pr:pr + 32, g.cp:(g.kq + 1) * g.cp] = (
                 jnp.where(ok, y4[:, off:off + NQ], 0.0).astype(bf))
 
     # ---- down1: sources reduce to plane selection + uniform shifts on
-    # the quarter grid, so ONE im2col + ONE matmul covers all DROWS rows
+    # the quarter grid, so ONE im2col + ONE matmul covers all g.drows rows
     W1 = w1[...]
-    ND = DROWS * CP
+    ND = g.drows * g.cp
     for dr in range(3):
         rs, kd = _TAP_EVEN[dr]      # stem row 2*t1 + dr - 1
         for dx in range(3):
             ps, cd = _TAP_EVEN[dx]  # stem col 2*d + dx - 1
             k = dr * 3 + dx
             pr = 32 * (2 * rs + ps)
-            base = (2 + kd) * CP + cd
+            base = (2 + kd) * g.cp + cd
             a1[32 * k:32 * k + 32, :] = sq[pr:pr + 32, base:base + ND]
     y = jnp.dot(W1, a1[...], preferred_element_type=jnp.float32)
     y = _silu_f32(y + b1[...])
-    ok = domain_mask(DROWS, STRIP * s - 1, C3ROWS)
-    dbuf[:, CP:(DROWS + 1) * CP] = jnp.where(ok, y, 0.0).astype(bf)
+    ok = domain_mask(g.drows, g.strip * s - 1, g.c3rows)
+    dbuf[:, g.cp:(g.drows + 1) * g.cp] = jnp.where(ok, y, 0.0).astype(bf)
 
     # ---- C3: cv1 (halo rows) + cv2 (center rows) in one matmul
     W12 = w12[...]
-    y = jnp.dot(W12, dbuf[:, CP:(DROWS + 1) * CP],
+    y = jnp.dot(W12, dbuf[:, g.cp:(g.drows + 1) * g.cp],
                 preferred_element_type=jnp.float32)
-    # y row r <-> down global row STRIP*s + r - 1 (dbuf/p1 row j = r + 1)
-    y = _silu_f32(y + b12[...])          # (64, DROWS*CP)
-    c3_okd = domain_mask(DROWS, STRIP * s - 1, C3ROWS)
+    # y row r <-> down global row g.strip*s + r - 1 (dbuf/p1 row j = r + 1)
+    y = _silu_f32(y + b12[...])          # (64, g.drows*g.cp)
+    c3_okd = domain_mask(g.drows, g.strip * s - 1, g.c3rows)
     y = jnp.where(c3_okd, y, 0.0)
-    p1[0:32, CP:(DROWS + 1) * CP] = y[0:32].astype(bf)   # cv1 branch
-    p2 = y[32:64, CP:(STRIP + 1) * CP]   # cv2 branch, center STRIP rows
+    p1[0:32, g.cp:(g.drows + 1) * g.cp] = y[0:32].astype(bf)   # cv1 branch
+    p2 = y[32:64, g.cp:(g.strip + 1) * g.cp]   # cv2 branch, center g.strip rows
 
-    # m.cv1 on the cv1 branch (DROWS halo rows)
+    # m.cv1 on the cv1 branch (g.drows halo rows)
     Wm1 = wm1[...]
-    ym1 = jnp.dot(Wm1, p1[0:32, CP:(DROWS + 1) * CP],
+    ym1 = jnp.dot(Wm1, p1[0:32, g.cp:(g.drows + 1) * g.cp],
                   preferred_element_type=jnp.float32)
     ym1 = _silu_f32(ym1 + bm1[...])
-    p1[32:64, CP:(DROWS + 1) * CP] = jnp.where(c3_okd, ym1, 0.0).astype(bf)
+    p1[32:64, g.cp:(g.drows + 1) * g.cp] = jnp.where(c3_okd, ym1, 0.0).astype(bf)
 
     # m.cv2 3x3 over the m.cv1 output (stored with leading zero row)
-    NC = STRIP * CP
+    NC = g.strip * g.cp
     for dr in range(3):
         for dx in range(3):
             k = dr * 3 + dx
-            base = (dr + 1) * CP + dx - 1
+            base = (dr + 1) * g.cp + dx - 1
             a2[32 * k:32 * k + 32, :] = p1[32:64, base:base + NC]
     Wm2 = wm2[...]
     ym2 = jnp.dot(Wm2, a2[...], preferred_element_type=jnp.float32)
     ym2 = _silu_f32(ym2 + bm2[...])
-    c3_oks = domain_mask(STRIP, STRIP * s, C3ROWS)
+    c3_oks = domain_mask(g.strip, g.strip * s, g.c3rows)
     ym2 = jnp.where(c3_oks, ym2, 0.0)
     # shortcut add (c1 == c2): + cv1-branch center rows
-    m1 = ym2.astype(bf) + p1[0:32, 2 * CP:(STRIP + 2) * CP]
+    m1 = ym2.astype(bf) + p1[0:32, 2 * g.cp:(g.strip + 2) * g.cp]
 
     cbuf[0:32, :] = m1
     cbuf[32:64, :] = p2.astype(bf)
     W3 = w3[...]
     yo = jnp.dot(W3, cbuf[...], preferred_element_type=jnp.float32)
     yo = _silu_f32(yo + b3[...])
-    yo = jnp.where(c3_oks, yo, 0.0).astype(bf)    # (64, STRIP*CP)
+    yo = jnp.where(c3_oks, yo, 0.0).astype(bf)    # (64, g.strip*g.cp)
 
-    # ---- write real cols [4, 4+COLS) of each of the STRIP rows
-    for u in range(STRIP):
-        out_ref[0, :, u * COLS:(u + 1) * COLS] = (
-            yo[:, u * CP + 4:u * CP + 4 + COLS])
+    # ---- write real cols [4, 4+g.cols) of each of the g.strip rows
+    for u in range(g.strip):
+        out_ref[0, :, u * g.cols:(u + 1) * g.cols] = (
+            yo[:, u * g.cp + 4:u * g.cp + 4 + g.cols])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def front_fused(xp: jax.Array, w: Dict, interpret: bool = False) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("interpret", "geom"))
+def front_fused(xp: jax.Array, w: Dict, interpret: bool = False,
+                geom: Optional[FrontGeom] = None) -> jax.Array:
     """xp: packed input (B, 64, RP*CP) — 4 parity planes x 16 padded
-    channels (see pack_front_input).  Returns (B, 184, 320, 64) bf16."""
+    channels (see pack_front_input).  Returns (B, H/4, W/4, 64) bf16.
+    ``geom`` defaults to the production 736x1280 geometry."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    g = geom or _G0
+    assert xp.shape[1:] == (64, g.rp * g.cp), (xp.shape, g)
     B = xp.shape[0]
     bf = jnp.bfloat16
-    grid = (B, NSTRIP)
+    grid = (B, g.nstrip)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
     out = pl.pallas_call(
-        _front_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, 64, C3ROWS * COLS), bf),
+        functools.partial(_front_kernel, g),
+        out_shape=jax.ShapeDtypeStruct((B, 64, g.c3rows * g.cols), bf),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + wspecs,
         out_specs=pl.BlockSpec(
-            (1, 64, STRIP * COLS), lambda b, s: (b, 0, s),
+            (1, 64, g.strip * g.cols), lambda b, s: (b, 0, s),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 64, WIN * CP), bf),         # xw (double-buffered)
-            pltpu.VMEM((144, 4 * KQ * CP), bf),        # a0 (4 planes)
-            pltpu.VMEM((128, (KQ + 2) * CP), bf),      # sq: 4 stem planes
-            pltpu.VMEM((288, DROWS * CP), bf),         # a1
-            pltpu.VMEM((64, (DROWS + 2) * CP), bf),    # dbuf
-            pltpu.VMEM((64, (DROWS + 2) * CP), bf),    # p1 (rows 0/last halo)
-            pltpu.VMEM((288, STRIP * CP), bf),         # a2
-            pltpu.VMEM((64, STRIP * CP), bf),          # cbuf
+            pltpu.VMEM((2, 64, g.win * g.cp), bf),     # xw (double-buffered)
+            pltpu.VMEM((144, 4 * g.kq * g.cp), bf),    # a0 (4 planes)
+            pltpu.VMEM((128, (g.kq + 2) * g.cp), bf),  # sq: 4 stem planes
+            pltpu.VMEM((288, g.drows * g.cp), bf),     # a1
+            pltpu.VMEM((64, (g.drows + 2) * g.cp), bf),  # dbuf
+            pltpu.VMEM((64, (g.drows + 2) * g.cp), bf),  # p1 (halo rows)
+            pltpu.VMEM((288, g.strip * g.cp), bf),     # a2
+            pltpu.VMEM((64, g.strip * g.cp), bf),      # cbuf
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, w["w0"], w["b0"], w["w1"], w["b1"], w["w12"], w["b12"],
       w["wm1"], w["bm1"], w["wm2"], w["bm2"], w["w3"], w["b3"])
-    out = out.reshape(B, 64, C3ROWS, COLS)
+    out = out.reshape(B, 64, g.c3rows, g.cols)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
@@ -411,10 +446,12 @@ def front_pack_from_params(model, params):
 
 
 def front_apply(x: jax.Array, packed: Dict) -> jax.Array:
-    """Letterboxed frame batch (B, 736, 1280, 3) bf16 -> C3 output
-    (B, 184, 320, 64) via the fused kernel (the S2D reshuffle is folded
-    into the one packing transpose)."""
-    return front_fused(pack_front_frames(x), packed)
+    """Letterboxed frame batch (B, H, W, 3) bf16 -> C3 output
+    (B, H/4, W/4, 64) via the fused kernel (the S2D reshuffle is folded
+    into the one packing transpose).  Geometry derived from the frame
+    shape (any H % 32 == 0, W % 64 == 0)."""
+    g = front_geom(x.shape[1], x.shape[2])
+    return front_fused(pack_front_frames(x), packed, geom=g)
 
 
 def front_reference(x_s2d: jax.Array, p_stem: Dict, p_down: Dict,

@@ -139,12 +139,17 @@ class PlateRecognizer:
         mask[list(plate_class_ids)] = True
         self.plate_mask = jnp.asarray(mask)
         self._front = None
-        if (cfg.fused_front and tuple(cfg.det_hw) == (736, 1280)
-                and cfg.dtype == jnp.bfloat16
+        if (cfg.fused_front and cfg.dtype == jnp.bfloat16
                 and jax.default_backend() == "tpu"):
-            from lpr_tpu.ops.pallas.yolo_front import front_pack_from_params
+            from lpr_tpu.ops.pallas.yolo_front import (front_geom,
+                                                       front_pack_from_params)
 
-            self._front = front_pack_from_params(plate_model, plate_params)
+            try:
+                front_geom(*cfg.det_hw)   # validates the geometry
+                self._front = front_pack_from_params(plate_model,
+                                                     plate_params)
+            except ValueError:
+                self._front = None        # geometry unsupported -> XLA path
         if cfg.int8_detector:
             from lpr_tpu.models.yolo import quantize_yolo
 
