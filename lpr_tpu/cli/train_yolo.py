@@ -28,6 +28,9 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-dir", default="checkpoints/yolo")
     p.add_argument("--patience", type=int, default=100)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--cache", action="store_true",
+                   help="decode images into RAM once (reference --cache ram, "
+                        "datasets.py:484-507)")
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--autoanchor", action="store_true",
                    help="evolve anchors from the train labels first")
@@ -47,11 +50,16 @@ def main(argv=None):
     hw = (args.imgsz, args.imgsz)
     train_ds = YoloDataset(args.img_dir, args.label_dir, hw,
                            max_labels=args.max_labels,
-                           augment=not args.no_augment)
+                           augment=not args.no_augment,
+                           cache_images=args.cache)
     val_ds = YoloDataset(args.val_img_dir or args.img_dir,
                          args.val_label_dir or args.label_dir, hw,
-                         max_labels=args.max_labels, augment=False)
+                         max_labels=args.max_labels, augment=False,
+                         cache_images=args.cache)
     print(f"train {len(train_ds)} images, val {len(val_ds)} images")
+    if args.cache:
+        gb = train_ds.cache_all()
+        print(f"cached {gb:.2f} GB of decoded images in RAM")
 
     ckpt_anchors = None
     if args.arch == "char_ocr":

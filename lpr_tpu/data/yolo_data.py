@@ -263,11 +263,20 @@ class YoloDataset:
         aug: YoloAugConfig = YoloAugConfig(),
         seed: int = 0,
         transform=None,
+        cache_images: bool = False,
+        cache_budget_bytes: int = 4 << 30,
     ):
         """``transform``: optional user hook called as
         transform(img_u8, labels_px_xyxy, rng) -> (img, labels) right before
         the HSV/flip stage — the reference's Albumentations integration point
-        (yolov5/utils/augmentations.py:13-44)."""
+        (yolov5/utils/augmentations.py:13-44).
+
+        ``cache_images``: keep decoded images (+ parsed labels) in RAM so
+        epochs after the first skip JPEG/PNG decode — the reference's
+        ``--cache ram`` path (yolov5/utils/datasets.py:484-507).  Capped at
+        ``cache_budget_bytes`` of decoded pixels; once the budget is hit,
+        further images stay uncached (the reference instead requires the
+        whole set to fit)."""
         self.paths = sorted(
             os.path.join(img_dir, f) for f in os.listdir(img_dir)
             if f.lower().endswith(IMG_EXTS)
@@ -279,14 +288,39 @@ class YoloDataset:
         self.aug = aug
         self.rng = random.Random(seed)
         self.transform = transform
+        self._cache: Optional[dict] = {} if cache_images else None
+        self._cache_budget = cache_budget_bytes
+        self._cache_bytes = 0
 
     def __len__(self):
         return len(self.paths)
 
+    def cache_all(self, workers: int = 8) -> float:
+        """Eagerly decode every image into the RAM cache with a thread pool
+        (reference datasets.py:484-496 does the same via ThreadPool(8)).
+        Returns GB cached; stops silently at the budget cap."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._cache is None:
+            self._cache = {}
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(self._load_raw, range(len(self))))
+        return self._cache_bytes / 1e9
+
     def _load_raw(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        if self._cache is not None:
+            hit = self._cache.get(i)
+            if hit is not None:
+                return hit
         img = np.asarray(Image.open(self.paths[i]).convert("RGB"), np.uint8)
         stem = os.path.splitext(os.path.basename(self.paths[i]))[0]
         labels = load_yolo_labels(os.path.join(self.label_dir, stem + ".txt"))
+        if (self._cache is not None
+                and self._cache_bytes + img.nbytes <= self._cache_budget):
+            # decoded arrays are never mutated downstream (mosaic/aug copy
+            # into fresh canvases), so caching the object itself is safe
+            self._cache[i] = (img, labels)
+            self._cache_bytes += img.nbytes
         return img, labels
 
     def _to_px(self, labels: np.ndarray, w: int, h: int) -> np.ndarray:

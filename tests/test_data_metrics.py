@@ -68,6 +68,28 @@ def test_yolo_dataset_plain(img_tree):
     assert abs(labels[0, 1] - 0.5) < 0.02
 
 
+def test_yolo_dataset_image_cache(img_tree):
+    """RAM image cache (reference datasets.py:484-507): same samples as the
+    uncached loader, populated after first touch, budget cap respected."""
+    kw = dict(img_hw=(128, 128), max_labels=8, augment=False)
+    cold = YoloDataset(str(img_tree / "images"), str(img_tree / "labels"), **kw)
+    hot = YoloDataset(str(img_tree / "images"), str(img_tree / "labels"),
+                      cache_images=True, **kw)
+    gb = hot.cache_all(workers=2)
+    assert len(hot._cache) == 4 and gb > 0
+    for i in range(4):
+        ic, lc = cold.get(i)
+        ih, lh = hot.get(i)
+        np.testing.assert_array_equal(ic, ih)
+        np.testing.assert_array_equal(lc, lh)
+    capped = YoloDataset(str(img_tree / "images"), str(img_tree / "labels"),
+                         cache_images=True, cache_budget_bytes=1, **kw)
+    capped.get(0)
+    assert len(capped._cache) == 0  # over budget: nothing cached
+    img, labels = capped.get(0)    # still correct uncached
+    np.testing.assert_array_equal(img, cold.get(0)[0])
+
+
 def test_yolo_dataset_augmented(img_tree):
     ds = YoloDataset(str(img_tree / "images"), str(img_tree / "labels"),
                      img_hw=(128, 128), max_labels=16, augment=True, seed=3)
