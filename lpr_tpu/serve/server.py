@@ -34,6 +34,11 @@ class ServeConfig:
     # submitted frame fixes the served shape; later mismatches are rejected
     # at submit() time (mixed shapes cannot share one compiled batch).
     frame_hw: Optional[tuple] = None
+    # Host decode thread pool for submit_path/submit_bytes (JPEG/PNG ->
+    # letterboxed uint8 via the native lpr_native library; the decode work
+    # releases the GIL inside libjpeg, so threads scale).  The decoded feed
+    # overlaps the one-deep device pipeline in _loop.
+    decode_workers: int = 8
 
 
 @dataclasses.dataclass
@@ -100,6 +105,7 @@ class InferenceServer:
         self._shape_lock = threading.Lock()
         self._frame_shape: Optional[tuple] = (
             (*cfg.frame_hw, 3) if cfg.frame_hw is not None else None)
+        self._decoder = None  # lazy decode ThreadPoolExecutor
 
     # ------------------------------------------------------------------
     def start(self):
@@ -108,6 +114,9 @@ class InferenceServer:
         return self
 
     def stop(self):
+        if self._decoder is not None:
+            self._decoder.shutdown(wait=True)
+            self._decoder = None
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=30)
@@ -146,6 +155,129 @@ class InferenceServer:
 
     def infer(self, frame: np.ndarray):
         return self.submit(frame).result()
+
+    # -- file/bytes ingestion (native host decode) ----------------------
+    def _decode_pool(self):
+        if self._decoder is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._decoder = ThreadPoolExecutor(
+                max_workers=self.cfg.decode_workers,
+                thread_name_prefix="lpr-decode")
+        return self._decoder
+
+    def _served_hw(self) -> tuple:
+        with self._shape_lock:
+            if self._frame_shape is None:
+                raise ValueError(
+                    "submit_path/submit_bytes need a fixed frame shape: set "
+                    "ServeConfig.frame_hw (encoded images are letterboxed "
+                    "to it on the host)")
+            return self._frame_shape[:2]
+
+    def _chain(self, outer: Future, work) -> Future:
+        """Run ``work`` (decode+submit) on the pool; forward the inner
+        future's result/exception to ``outer``."""
+        def run():
+            try:
+                inner = work()
+            except Exception as e:
+                if not outer.done():
+                    outer.set_exception(e)
+                return
+            def fwd(f):
+                if outer.done():
+                    return
+                err = f.exception()
+                if err is not None:
+                    outer.set_exception(err)
+                else:
+                    outer.set_result(f.result())
+            inner.add_done_callback(fwd)
+
+        self._decode_pool().submit(run)
+        return outer
+
+    def submit_path(self, path: str) -> Future:
+        """Image file -> Future[List[plate dict]].  JPEG/PNG decode +
+        letterbox to the served shape happen on the native decode pool
+        (native/lpr_native.cc), overlapping the device pipeline — the
+        reference's Triton clients did this letterboxing in Python per
+        request (inference/triton_run.py:120)."""
+        from lpr_tpu import native
+
+        hw = self._served_hw()
+
+        def work():
+            frame = native.load_letterbox_batch([path], hw)[0]
+            return self.submit(frame)
+
+        return self._chain(Future(), work)
+
+    def submit_paths(self, paths: List[str]) -> List[Future]:
+        """Batch file ingestion: one native decode call (its own C++ thread
+        pool) per chunk, then the frames enter the dynamic-batching queue."""
+        from lpr_tpu import native
+
+        hw = self._served_hw()
+        outers = [Future() for _ in paths]
+
+        def work_chunk(chunk_paths, chunk_outers):
+            try:
+                frames = native.load_letterbox_batch(list(chunk_paths), hw)
+            except Exception as e:
+                for o in chunk_outers:
+                    if not o.done():
+                        o.set_exception(e)
+                return
+            for frame, outer in zip(frames, chunk_outers):
+                try:
+                    inner = self.submit(frame)
+                except Exception as e:
+                    if not outer.done():
+                        outer.set_exception(e)
+                    continue
+                def fwd(f, outer=outer):
+                    if outer.done():
+                        return
+                    err = f.exception()
+                    if err is not None:
+                        outer.set_exception(err)
+                    else:
+                        outer.set_result(f.result())
+                inner.add_done_callback(fwd)
+
+        chunk = max(1, self.cfg.max_batch)
+        for s in range(0, len(paths), chunk):
+            self._decode_pool().submit(
+                work_chunk, paths[s : s + chunk], outers[s : s + chunk])
+        return outers
+
+    def submit_bytes(self, data: bytes) -> Future:
+        """Encoded image bytes -> Future[List[plate dict]] (native decode)."""
+        from lpr_tpu import native
+
+        oh, ow = self._served_hw()
+
+        def work():
+            img = native.decode_image(data)
+            if img is None:
+                raise ValueError("undecodable image bytes")
+            if img.shape[:2] != (oh, ow):
+                h, w = img.shape[:2]
+                r = min(oh / h, ow / w)
+                nh, nw = max(int(round(h * r)), 1), max(int(round(w * r)), 1)
+                from PIL import Image
+
+                rs = np.asarray(Image.fromarray(img).resize(
+                    (nw, nh), Image.BILINEAR))
+                canvas = np.zeros((oh, ow, 3), np.uint8)
+                t, l = (oh - nh) // 2, (ow - nw) // 2
+                canvas[t : t + nh, l : l + nw] = rs
+                img = canvas
+            return self.submit(img)
+
+        return self._chain(Future(), work)
 
     def submit_many(self, frames: np.ndarray) -> List[Future]:
         """(B, H, W, 3) uint8 -> one future per frame.  Frames enter the same

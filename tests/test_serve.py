@@ -90,6 +90,45 @@ def test_server_frame_hw_lock_up_front():
         assert srv.infer(np.zeros((8, 8, 3), np.uint8))[0]["text"] == "T0"
 
 
+def test_server_file_ingestion(tmp_path):
+    """submit_path/submit_paths/submit_bytes: native host decode + letterbox
+    feed the dynamic-batching queue (the Triton-client letterbox moved
+    server-side, triton_run.py:120)."""
+    from PIL import Image
+
+    rec = FakeRecognizer()
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"f{i}.jpg"
+        Image.fromarray(
+            np.full((30, 60, 3), 40 * i, np.uint8)).save(p, quality=90)
+        paths.append(str(p))
+
+    cfg = ServeConfig(max_batch=4, max_delay_ms=20.0, frame_hw=(16, 32),
+                      decode_workers=2)
+    with InferenceServer(rec, cfg) as srv:
+        one = srv.submit_path(paths[0]).result(timeout=10)
+        assert one[0]["text"] == "T0"
+        futs = srv.submit_paths(paths)
+        outs = [f.result(timeout=10) for f in futs]
+        assert all(len(o) == 1 for o in outs)
+        data = open(paths[0], "rb").read()
+        assert srv.submit_bytes(data).result(timeout=10)[0]["text"].startswith("T")
+        # undecodable bytes reject the future, not the server
+        bad = srv.submit_bytes(b"not an image")
+        with pytest.raises(Exception):
+            bad.result(timeout=10)
+        assert srv.infer(np.zeros((16, 32, 3), np.uint8))[0]["text"] == "T0"
+    assert srv.stats.requests == 9
+
+
+def test_server_file_ingestion_requires_shape():
+    rec = FakeRecognizer()
+    with InferenceServer(rec, ServeConfig(max_batch=2)) as srv:
+        with pytest.raises(ValueError):
+            srv.submit_path("/nonexistent.jpg")
+
+
 def test_http_frontend():
     from lpr_tpu.serve.http import HttpFrontend
 

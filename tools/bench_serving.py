@@ -84,6 +84,11 @@ def main():
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--http", action="store_true",
                     help="route via the HTTP front-end (adds network hop)")
+    ap.add_argument("--files", action="store_true",
+                    help="clients submit JPEG paths; the server's native "
+                         "decode pool (lpr_native.cc) does JPEG->letterbox "
+                         "on host threads, overlapped with the device "
+                         "pipeline")
     args = ap.parse_args()
 
     os.environ.setdefault(
@@ -120,6 +125,23 @@ def main():
             (h, w), [(t, False, (x1, y1, x1 + pw, y1 + ph))], rng),
             np.uint8))
 
+    jpeg_paths = []
+    if args.files:
+        import tempfile
+
+        from PIL import Image
+
+        d = tempfile.mkdtemp(prefix="lpr_serve_bench_")
+        for i, f in enumerate(frames):
+            p = os.path.join(d, f"frame{i}.jpg")
+            Image.fromarray(f).save(p, quality=90)
+            jpeg_paths.append(p)
+        from lpr_tpu.native import native_available
+
+        print(f"# files mode: native decode "
+              f"{'ON' if native_available() else 'OFF (PIL fallback)'}",
+              file=sys.stderr)
+
     cfg = ServeConfig(max_batch=args.max_batch,
                       max_delay_ms=args.max_delay_ms,
                       queue_size=4 * args.clients, frame_hw=(h, w))
@@ -147,6 +169,9 @@ def main():
                         url + "/v2/models/pipeline/infer", data=payload)
                     with urllib.request.urlopen(req) as r:
                         json.loads(r.read())
+                elif jpeg_paths:
+                    srv.submit_path(
+                        jpeg_paths[cid % len(jpeg_paths)]).result()
                 else:
                     srv.infer(f)
                 n_ok += 1
@@ -174,7 +199,8 @@ def main():
             "mean_batch": s["mean_batch"],
             "latency_ms_p50": s["latency_ms_p50"],
             "latency_ms_p99": s["latency_ms_p99"],
-            "transport": "http" if fe else "inproc",
+            "transport": ("http" if fe
+                          else "files" if jpeg_paths else "inproc"),
         }))
 
 
