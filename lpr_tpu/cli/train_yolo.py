@@ -28,6 +28,8 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-dir", default="checkpoints/yolo")
     p.add_argument("--patience", type=int, default=100)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--workers", type=int, default=8,
+                   help="loader threads (0 = synchronous)")
     p.add_argument("--cache", action="store_true",
                    help="decode images into RAM once (reference --cache ram, "
                         "datasets.py:484-507)")
@@ -107,8 +109,9 @@ def main(argv=None):
 
     fit_yolo(
         trainer,
-        lambda: train_ds.batches(args.batch_size),
-        lambda: val_ds.batches(args.batch_size, shuffle=False),
+        lambda: train_ds.batches(args.batch_size, workers=args.workers),
+        lambda: val_ds.batches(args.batch_size, shuffle=False,
+                               workers=args.workers),
         epochs=args.epochs, ckpt_dir=args.ckpt_dir,
         patience=args.patience, logger=log,
     )

@@ -64,6 +64,14 @@ def load_yolo_labels(path: str) -> np.ndarray:
     return np.asarray(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
 
 
+def _resize_u8(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """Bilinear uint8 resize: cv2 (releases the GIL, ~10x PIL) when
+    available, PIL otherwise (reference datasets.py uses cv2.resize)."""
+    if _HAS_CV2:
+        return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    return np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+
+
 def letterbox_np(img: np.ndarray, hw: Tuple[int, int],
                  fill: int = 114) -> Tuple[np.ndarray, float, Tuple[float, float]]:
     """Host letterbox (reference augmentations.py:91-121, auto=False)."""
@@ -71,10 +79,9 @@ def letterbox_np(img: np.ndarray, hw: Tuple[int, int],
     oh, ow = hw
     r = min(oh / h, ow / w)
     nh, nw = int(round(h * r)), int(round(w * r))
-    pil = Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
     out = np.full((oh, ow, 3), fill, np.uint8)
     top, left = (oh - nh) // 2, (ow - nw) // 2
-    out[top : top + nh, left : left + nw] = np.asarray(pil)
+    out[top : top + nh, left : left + nw] = _resize_u8(img, nw, nh)
     return out, r, (left, top)
 
 
@@ -335,13 +342,13 @@ class YoloDataset:
             1,
         ).astype(np.float32)
 
-    def _mosaic4(self, i) -> Tuple[np.ndarray, np.ndarray]:
+    def _mosaic4(self, i, rng) -> Tuple[np.ndarray, np.ndarray]:
         """4-image mosaic (reference datasets.py:648-703)."""
         oh, ow = self.img_hw
         sh, sw = oh, ow
-        yc = int(self.rng.uniform(sh // 2, 2 * sh - sh // 2))
-        xc = int(self.rng.uniform(sw // 2, 2 * sw - sw // 2))
-        idxs = [i] + [self.rng.randrange(len(self)) for _ in range(3)]
+        yc = int(rng.uniform(sh // 2, 2 * sh - sh // 2))
+        xc = int(rng.uniform(sw // 2, 2 * sw - sw // 2))
+        idxs = [i] + [rng.randrange(len(self)) for _ in range(3)]
         canvas = np.full((sh * 2, sw * 2, 3), 114, np.uint8)
         all_labels = []
         for k, idx in enumerate(idxs):
@@ -349,9 +356,7 @@ class YoloDataset:
             h0, w0 = img.shape[:2]
             r = min(sh / h0, sw / w0)
             nh, nw = int(h0 * r), int(w0 * r)
-            img = np.asarray(
-                Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
-            )
+            img = _resize_u8(img, nw, nh)
             if k == 0:
                 x1a, y1a = max(xc - nw, 0), max(yc - nh, 0)
                 x2a, y2a = xc, yc
@@ -381,12 +386,12 @@ class YoloDataset:
         labels[:, 1:] = labels[:, 1:].clip(0, [sw * 2, sh * 2, sw * 2, sh * 2])
         return canvas, labels
 
-    def _mosaic9(self, i) -> Tuple[np.ndarray, np.ndarray]:
+    def _mosaic9(self, i, rng) -> Tuple[np.ndarray, np.ndarray]:
         """9-image mosaic (reference datasets.py:704-778): 3x3 ring around a
         center image on a 3s x 3s canvas, then a random s x s window."""
         oh, ow = self.img_hw
         sh, sw = oh, ow
-        idxs = [i] + [self.rng.randrange(len(self)) for _ in range(8)]
+        idxs = [i] + [rng.randrange(len(self)) for _ in range(8)]
         canvas = np.full((sh * 3, sw * 3, 3), 114, np.uint8)
         all_labels = []
         # grid placement: center + 8 neighbors
@@ -397,9 +402,7 @@ class YoloDataset:
             h0, w0 = img.shape[:2]
             r = min(sh / h0, sw / w0)
             nh, nw = int(h0 * r), int(w0 * r)
-            img = np.asarray(
-                Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
-            )
+            img = _resize_u8(img, nw, nh)
             y0, x0 = gy * sh, gx * sw
             canvas[y0 : y0 + nh, x0 : x0 + nw] = img
             lab = self._to_px(labels, nw, nh)
@@ -410,8 +413,8 @@ class YoloDataset:
         labels = (np.concatenate(all_labels)
                   if all_labels else np.zeros((0, 5), np.float32))
         # random s x s window biased toward the center
-        yc = int(self.rng.uniform(sh // 2, 2 * sh - sh // 2)) + sh // 2
-        xc = int(self.rng.uniform(sw // 2, 2 * sw - sw // 2)) + sw // 2
+        yc = int(rng.uniform(sh // 2, 2 * sh - sh // 2)) + sh // 2
+        xc = int(rng.uniform(sw // 2, 2 * sw - sw // 2)) + sw // 2
         yc = min(max(yc, 0), 2 * sh)
         xc = min(max(xc, 0), 2 * sw)
         win = canvas[yc : yc + sh, xc : xc + sw]
@@ -424,23 +427,28 @@ class YoloDataset:
             labels = labels[keep]
         return np.ascontiguousarray(win), labels
 
-    def get(self, i) -> Tuple[np.ndarray, np.ndarray]:
-        """One sample: (img_hw RGB uint8, (max_labels, 5) padded labels)."""
+    def get(self, i, rng: Optional[random.Random] = None
+            ) -> Tuple[np.ndarray, np.ndarray]:
+        """One sample: (img_hw RGB uint8, (max_labels, 5) padded labels).
+
+        ``rng``: explicit RNG for this sample (thread-safe parallel
+        loading); defaults to the dataset's sequential stream."""
+        rng = self.rng if rng is None else rng
         oh, ow = self.img_hw
-        if self.augment and self.rng.random() < self.aug.mosaic:
+        if self.augment and rng.random() < self.aug.mosaic:
             if self.aug.use_mosaic9:
-                img, labels_px = self._mosaic9(i)
+                img, labels_px = self._mosaic9(i, rng)
                 img, labels_px = random_perspective(
-                    img, labels_px, self.rng, self.aug
+                    img, labels_px, rng, self.aug
                 )
             else:
-                img, labels_px = self._mosaic4(i)
+                img, labels_px = self._mosaic4(i, rng)
                 # reference order: copy_paste inside load_mosaic, before
                 # the perspective warp (datasets.py:684)
-                img, labels_px = copy_paste(img, labels_px, self.rng,
+                img, labels_px = copy_paste(img, labels_px, rng,
                                             p=self.aug.copy_paste)
                 img, labels_px = random_perspective(
-                    img, labels_px, self.rng, self.aug,
+                    img, labels_px, rng, self.aug,
                     border=(-oh // 2, -ow // 2),
                 )
         else:
@@ -453,20 +461,20 @@ class YoloDataset:
                 labels_px[:, [2, 4]] += dy
             if self.augment:
                 img, labels_px = random_perspective(
-                    img, labels_px, self.rng, self.aug
+                    img, labels_px, rng, self.aug
                 )
         if self.augment and self.transform is not None:
-            img, labels_px = self.transform(img, labels_px, self.rng)
+            img, labels_px = self.transform(img, labels_px, rng)
         if self.augment:
-            img = augment_hsv(img, self.rng, self.aug.hsv_h,
+            img = augment_hsv(img, rng, self.aug.hsv_h,
                               self.aug.hsv_s, self.aug.hsv_v)
-            if self.rng.random() < self.aug.flipud:
+            if rng.random() < self.aug.flipud:
                 img = img[::-1]
                 if len(labels_px):
                     y1 = labels_px[:, 2].copy()
                     labels_px[:, 2] = img.shape[0] - labels_px[:, 4]
                     labels_px[:, 4] = img.shape[0] - y1
-            if self.rng.random() < self.aug.fliplr:
+            if rng.random() < self.aug.fliplr:
                 img = img[:, ::-1]
                 if len(labels_px):
                     x1 = labels_px[:, 1].copy()
@@ -484,16 +492,48 @@ class YoloDataset:
             out[:n, 4] = (l[:, 4] - l[:, 2]) / img.shape[0]
         return np.ascontiguousarray(img), out
 
-    def batches(self, batch_size: int, shuffle: bool = True
+    def batches(self, batch_size: int, shuffle: bool = True,
+                workers: int = 0, prefetch: int = 2,
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Fixed-shape f32 batches.  ``workers > 0`` assembles samples on a
+        thread pool (cv2/PIL/JPEG work releases the GIL) with ``prefetch``
+        batches in flight — the reference's DataLoader num_workers
+        equivalent.  Parallel sample RNGs are seeded per (epoch, index) so
+        runs stay deterministic regardless of worker count/timing."""
         idx = list(range(len(self)))
         if shuffle:
             self.rng.shuffle(idx)
-        for s in range(0, len(idx) - batch_size + 1, batch_size):
-            items = [self.get(i) for i in idx[s : s + batch_size]]
+        starts = range(0, len(idx) - batch_size + 1, batch_size)
+        if workers <= 0:
+            for s in starts:
+                items = [self.get(i) for i in idx[s : s + batch_size]]
+                imgs, labels = zip(*items)
+                yield (np.stack(imgs).astype(np.float32) / 255.0,
+                       np.stack(labels))
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        epoch_seed = self.rng.randrange(1 << 30)
+
+        def sample(i):
+            return self.get(i, rng=random.Random(epoch_seed * 1000003 + i))
+
+        def assemble(s):
+            items = list(pool.map(sample, idx[s : s + batch_size]))
             imgs, labels = zip(*items)
-            yield (np.stack(imgs).astype(np.float32) / 255.0,
-                   np.stack(labels))
+            return (np.stack(imgs).astype(np.float32) / 255.0,
+                    np.stack(labels))
+
+        with ThreadPoolExecutor(max_workers=workers) as pool, \
+                ThreadPoolExecutor(max_workers=1) as stager:
+            pending = []
+            for s in starts:
+                pending.append(stager.submit(assemble, s))
+                while len(pending) > prefetch:
+                    yield pending.pop(0).result()
+            for f in pending:
+                yield f.result()
 
 
 # ---------------------------------------------------------------------------
