@@ -933,7 +933,8 @@ class YoloModel:
         return [l.import_torch(sd, f"{prefix}.{l.i}", fuse) for l in self.layers]
 
     def apply(self, params: List[Params], x, decode: bool = True,
-              train: bool = False, front: Optional[Any] = None):
+              train: bool = False, front: Optional[Any] = None,
+              mid: Optional[Any] = None):
         """Forward.  ``train=True`` switches BN to batch statistics and
         additionally returns a params pytree with EMA-updated running stats:
         ``(out, new_params)``.
@@ -941,7 +942,10 @@ class YoloModel:
         ``front``: packed weights from
         :func:`lpr_tpu.ops.pallas.yolo_front.front_pack_from_params` —
         runs layers 0-2 through the fused Pallas front-end kernel
-        (inference only; requires the 736x1280 geometry and bf16 input)."""
+        (inference only, bf16 input, geometry accepted by ``front_geom``).
+        ``mid``: packed weights from
+        :func:`lpr_tpu.ops.pallas.yolo_mid.mid_pack_from_params` — extends
+        the fused path through layers 3-4 (requires ``front``)."""
         use_front = False
         if front is not None and not train and x.dtype == jnp.bfloat16 \
                 and x.ndim == 4 and x.shape[3] == 3:
@@ -965,6 +969,19 @@ class YoloModel:
                 if 2 in self.save:
                     saved[2] = y
                 start = 3
+                if mid is not None:
+                    from lpr_tpu.ops.pallas.yolo_mid import (mid_apply,
+                                                             mid_geom)
+
+                    try:
+                        mid_geom(y.shape[1], y.shape[2])
+                    except ValueError:
+                        pass
+                    else:
+                        y = mid_apply(y, mid)
+                        if 4 in self.save:
+                            saved[4] = y
+                        start = 5
             for l, p in zip(self.layers[start:], params[start:]):
                 if l.f != -1:
                     if isinstance(l.f, int):

@@ -79,6 +79,13 @@ class PipelineConfig:
     # layer pattern matches, det_hw is (736, 1280), dtype is bf16 and the
     # backend is TPU.
     fused_front: bool = True
+    # Extend the fused path through layers 3-4 (ops/pallas/yolo_mid.py).
+    # Off by default: measured a net e2e LOSS at the bench geometry (the
+    # kernel wins nothing once channels reach 128 — XLA runs layers 3-4 in
+    # ~6.9 ms vs ~9.1 ms kernel + 6.4 ms repack at batch 32; see BENCHLOG
+    # "negative results").  Kept as an option for future geometries where
+    # the repack could fold into the front kernel's output stage.
+    fused_mid: bool = False
     # int8-quantize the plate detector's conv stack (models.yolo.quantize_yolo:
     # dynamic per-tensor activation quant, per-channel int8 weights, BN
     # folded; Detect head stays float).  The int8 MXU path is 2x the bf16
@@ -139,6 +146,7 @@ class PlateRecognizer:
         mask[list(plate_class_ids)] = True
         self.plate_mask = jnp.asarray(mask)
         self._front = None
+        self._mid = None
         if (cfg.fused_front and cfg.dtype == jnp.bfloat16
                 and jax.default_backend() == "tpu"):
             from lpr_tpu.ops.pallas.yolo_front import (front_geom,
@@ -150,6 +158,16 @@ class PlateRecognizer:
                                                      plate_params)
             except ValueError:
                 self._front = None        # geometry unsupported -> XLA path
+            if self._front is not None and cfg.fused_mid:
+                from lpr_tpu.ops.pallas.yolo_mid import (mid_geom,
+                                                         mid_pack_from_params)
+
+                try:
+                    mid_geom(cfg.det_hw[0] // 4, cfg.det_hw[1] // 4)
+                    self._mid = mid_pack_from_params(plate_model,
+                                                     plate_params)
+                except ValueError:
+                    self._mid = None
         if cfg.int8_detector:
             from lpr_tpu.models.yolo import quantize_yolo
 
@@ -255,7 +273,8 @@ class PlateRecognizer:
             fh, fw = x.shape[1], x.shape[2]
             lb, gain, pad = im.letterbox(x, cfg.det_hw, fill=0.0)
             pred, _ = self.plate_model.apply(params["plate"], lb,
-                                             front=self._front)
+                                             front=self._front,
+                                             mid=self._mid)
             det = nms_batched(
                 pred, cfg.det_conf, cfg.iou, max_det=16, pre_topk=64,
                 multi_label=True, agnostic=True, class_mask=self.plate_mask,

@@ -49,6 +49,11 @@ def parse_args(argv=None):
     p.add_argument("--hw", type=int, nargs=2, default=(32, 192),
                    help="crop size (reference trains on plate crops)")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--ckpt-every", type=int, default=2000,
+                   help="save G + full trainer state every N steps")
+    p.add_argument("--resume", type=str, default=None,
+                   help="full trainer-state npz to warm-start from "
+                        "(the --out path + '.state.npz')")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     return p.parse_args(argv)
 
@@ -210,7 +215,19 @@ def main(argv=None):
 
     trainer = CycleGANTrainer(CycleGANConfig())
     state = trainer.init(jax.random.PRNGKey(args.seed_a))
+    if args.resume and os.path.exists(args.resume):
+        from lpr_tpu.weights.checkpoint import load_params
+
+        state = load_params(args.resume, state)
+        print(f"resumed trainer state from {args.resume}", file=sys.stderr)
     take = jax.jit(lambda pool, idx: jnp.take(pool, idx, axis=0))
+    state_out = args.out + ".state.npz"
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+    def save(tag=""):
+        save_params(args.out + tag, state["g"]["ab"])
+        save_params(state_out, state)
+        print(f"saved G_AtoB -> {args.out}{tag} (+ state)", flush=True)
 
     nprng = np.random.RandomState(0)
     t0 = time.time()
@@ -224,10 +241,10 @@ def main(argv=None):
                   f"gan {m['gan']:.3f} cyc {m['cyc']:.3f})  "
                   f"D_A {m['d_a_loss']:.3f} D_B {m['d_b_loss']:.3f}  "
                   f"({dt:.0f}s)", flush=True)
+        if args.ckpt_every and step and step % args.ckpt_every == 0:
+            save()
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    save_params(args.out, state["g"]["ab"])
-    print(f"saved G_AtoB -> {args.out}")
+    save()
 
     # paired classical baseline on the same clean crops for the acceptance
     from lpr_tpu.data.degradation import DegradationConfig, LPDegradation
