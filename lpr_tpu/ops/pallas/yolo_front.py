@@ -120,6 +120,41 @@ def pack_front_frames(x: jax.Array) -> jax.Array:
     return z.reshape(B, 64, g.rp * g.cp)
 
 
+@functools.lru_cache(maxsize=4)
+def _pack_conv_weight(dtype_name: str) -> jax.Array:
+    """(4, 4, 3, 64) HWIO 0/1 kernel: stride-4 conv == the whole
+    quarter-grid pack.  Output channel p = plane*16 + s2dch with
+    plane = (a//2)*2 + b//2 and s2dch = c*4 + (a%2)*2 + b%2 for patch
+    offset (a, b) and input channel c; channels 12-15 of each plane stay
+    zero (the sublane-tile pad)."""
+    w = np.zeros((4, 4, 3, 64), np.float32)
+    for a in range(4):
+        for b in range(4):
+            for c in range(3):
+                p = ((a // 2) * 2 + b // 2) * 16 + c * 4 + (a % 2) * 2 + b % 2
+                w[a, b, c, p] = 1.0
+    return jnp.asarray(w, jnp.dtype(dtype_name))
+
+
+def pack_front_frames_conv(x: jax.Array) -> jax.Array:
+    """:func:`pack_front_frames` as ONE stride-4 conv (identity 0/1 taps,
+    channel permutation + 16-pad in the weights, plane padding as conv
+    input padding, channel-major NCHW output) — the XLA transpose chain
+    costs ~5.4 ms/step at bench geometry vs ~?? for the MXU route; exact
+    (0/1 taps accumulate a single term in f32)."""
+    B = x.shape[0]
+    g = front_geom(x.shape[1], x.shape[2])
+    w = _pack_conv_weight(x.dtype.name)
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(4, 4),
+        padding=((16, 4 * (g.rp - g.c3rows) - 16),
+                 (16, 4 * (g.cp - g.cols) - 16)),
+        dimension_numbers=("NHWC", "HWIO", "NCHW"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return out.reshape(B, 64, g.rp * g.cp)
+
+
 def pack_front_input(x_s2d: jax.Array) -> jax.Array:
     """(B, H/2, W/2, 12) s2d plane -> (B, 64, RP*CP) (test convenience;
     production uses :func:`pack_front_frames` on the raw frames)."""

@@ -102,6 +102,23 @@ def test_pack_front_frames_matches_s2d_pack():
     np.testing.assert_array_equal(a, b)
 
 
+def test_pack_front_frames_conv_exact():
+    """The MXU pack (stride-4 identity conv, channel permutation + plane
+    padding folded into the conv) must be BIT-exact vs the transpose pack
+    at both the rect and square geometries — 0/1 taps accumulate exactly
+    one term, so there is no tolerance."""
+    from lpr_tpu.ops.pallas.yolo_front import (pack_front_frames,
+                                               pack_front_frames_conv)
+
+    rng = np.random.RandomState(11)
+    for hw in ((736, 1280), (64, 64)):
+        x = jnp.asarray(rng.rand(2, *hw, 3).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        a = np.asarray(pack_front_frames(x).astype(jnp.float32))
+        b = np.asarray(pack_front_frames_conv(x).astype(jnp.float32))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_front_pack_rejects_non_matching_model():
     from lpr_tpu.models.yolo import YoloSpec, build_yolo
     from lpr_tpu.ops.pallas.yolo_front import front_pack_from_params
