@@ -66,6 +66,13 @@ def parse_args(argv=None):
     p.add_argument("--p-estimated", type=float, default=0.3,
                    help="probability of an estimated real-blur kernel pass")
     p.add_argument("--kernels", default="/root/reference/estimated-kn")
+    p.add_argument("--gan-weights", type=str, default=None,
+                   help="CycleGAN G_AtoB weights (.npz): route a fraction "
+                        "of crops through the learned degradation, like the "
+                        "reference LR generator (my_utils/create_lr.py:45-90)")
+    p.add_argument("--p-gan", type=float, default=0.4,
+                   help="per-crop probability of the GAN route when "
+                        "--gan-weights is given (reference: p<=0.4)")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     return p.parse_args(argv)
 
@@ -104,6 +111,16 @@ def main(argv=None):
         est = jax.jit(jax.vmap(
             lambda k, im_: apply_estimated_kernel(k, im_, kernels)))
 
+    gan_apply = gan_params = None
+    if args.gan_weights:
+        from lpr_tpu.models.cyclegan import generator_apply, generator_init
+        from lpr_tpu.weights.checkpoint import load_params
+
+        gan_params = load_params(args.gan_weights,
+                                 generator_init(jax.random.PRNGKey(0)))
+        gan_apply = jax.jit(lambda p_, x_: jnp.clip(
+            generator_apply(p_, x_ * 2.0 - 1.0) * 0.5 + 0.5, 0.0, 1.0))
+
     rng = random.Random(args.seed)
     nprng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
@@ -135,6 +152,22 @@ def main(argv=None):
         c = nprng.uniform(*args.wash, (b, 1, 1, 1)).astype(np.float32)
         m = nprng.uniform(0.55, 0.8, (b, 1, 1, 1)).astype(np.float32)
         lr = np.clip(lr * c + (1 - c) * m, 0.0, 1.0)
+        if gan_apply is not None:
+            # learned-degradation route (reference create_lr.py:45-90: a
+            # fraction of crops goes through G_AtoB instead of the classical
+            # chain).  G runs at its training domain (the LR crop size);
+            # its output already carries the learned wash, so no extra one.
+            clean_lr = jnp.asarray(np.stack([
+                np.asarray(Image.fromarray(
+                    (im * 255).astype(np.uint8)).resize(
+                        (cfg.lr_hw[1], cfg.lr_hw[0]), Image.BILINEAR),
+                    np.float32) / 255.0
+                for im in hrs
+            ]))
+            gan_lr = np.asarray(gan_apply(gan_params, clean_lr))
+            routes = nprng.rand(b)
+            lr = np.where((routes <= args.p_gan)[:, None, None, None],
+                          gan_lr, lr)
         for t, img in zip(chunk, lr):
             Image.fromarray(
                 np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
