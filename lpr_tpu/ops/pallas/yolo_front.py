@@ -120,28 +120,33 @@ def pack_front_frames(x: jax.Array) -> jax.Array:
     return z.reshape(B, 64, g.rp * g.cp)
 
 
-@functools.lru_cache(maxsize=4)
-def _pack_conv_weight(dtype_name: str) -> jax.Array:
+@functools.lru_cache(maxsize=1)
+def _pack_conv_weight_np() -> np.ndarray:
     """(4, 4, 3, 64) HWIO 0/1 kernel: stride-4 conv == the whole
     quarter-grid pack.  Output channel p = plane*16 + s2dch with
     plane = (a//2)*2 + b//2 and s2dch = c*4 + (a%2)*2 + b%2 for patch
     offset (a, b) and input channel c; channels 12-15 of each plane stay
-    zero (the sublane-tile pad)."""
+    zero (the sublane-tile pad).  Cached as NUMPY (a cached jax.Array
+    would capture a tracer when first built under jit)."""
     w = np.zeros((4, 4, 3, 64), np.float32)
     for a in range(4):
         for b in range(4):
             for c in range(3):
                 p = ((a // 2) * 2 + b // 2) * 16 + c * 4 + (a % 2) * 2 + b % 2
                 w[a, b, c, p] = 1.0
-    return jnp.asarray(w, jnp.dtype(dtype_name))
+    return w
+
+
+def _pack_conv_weight(dtype_name: str) -> jax.Array:
+    return jnp.asarray(_pack_conv_weight_np(), jnp.dtype(dtype_name))
 
 
 def pack_front_frames_conv(x: jax.Array) -> jax.Array:
     """:func:`pack_front_frames` as ONE stride-4 conv (identity 0/1 taps,
     channel permutation + 16-pad in the weights, plane padding as conv
-    input padding, channel-major NCHW output) — the XLA transpose chain
-    costs ~5.4 ms/step at bench geometry vs ~?? for the MXU route; exact
-    (0/1 taps accumulate a single term in f32)."""
+    input padding, channel-major NCHW output) — 3.24 ms/step at bench
+    geometry vs 5.67 for the XLA transpose chain (tools/bench_pack.py);
+    exact (0/1 taps accumulate a single term in f32)."""
     B = x.shape[0]
     g = front_geom(x.shape[1], x.shape[2])
     w = _pack_conv_weight(x.dtype.name)
@@ -484,7 +489,13 @@ def front_apply(x: jax.Array, packed: Dict) -> jax.Array:
     """Letterboxed frame batch (B, H, W, 3) bf16 -> C3 output
     (B, H/4, W/4, 64) via the fused kernel (the S2D reshuffle is folded
     into the one packing transpose).  Geometry derived from the frame
-    shape (any H % 32 == 0, W % 64 == 0)."""
+    shape (any H % 32 == 0, W % 64 == 0).
+
+    Stays on the XLA transpose pack: the stride-4 MXU conv variant wins
+    in isolation (3.24 vs 5.67 ms/step, tools/bench_pack.py) but LOSES
+    end-to-end (639 vs 672 fps) — in the pipeline the transpose chain
+    fuses with the letterbox pad while the conv forces the letterboxed
+    frame + its f32 conv output to materialize."""
     g = front_geom(x.shape[1], x.shape[2])
     return front_fused(pack_front_frames(x), packed, geom=g)
 
