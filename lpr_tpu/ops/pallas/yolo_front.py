@@ -66,10 +66,22 @@ class FrontGeom(NamedTuple):
     rp: int       # padded quarter rows
 
 
-def front_geom(h: int, w: int, strip: int = 8) -> FrontGeom:
+def best_strip(h: int, cap: int = 32) -> int:
+    """Largest C3-row strip that tiles the (h/4)-row output exactly, capped
+    so VMEM scratch stays well under the 128 MiB physical budget.  Bigger
+    strips amortize per-grid-cell overheads (DMA issue, prologue, halo
+    recompute): 184 rows at strip 23 runs the kernel 9.33 vs 10.00 ms/step
+    at strip 8 (batch 32), bit-identical output."""
+    c3rows = h // 4
+    return max(d for d in range(1, min(cap, c3rows) + 1) if c3rows % d == 0)
+
+
+def front_geom(h: int, w: int, strip: Optional[int] = None) -> FrontGeom:
     """Geometry for a (h, w) detector input.  Requires h % 32 == 0 (whole
     strips) and w % 64 == 0 (128-aligned output strip rows)."""
-    if h % (4 * strip) or w % 64:
+    if strip is None:
+        strip = best_strip(h)
+    if h % 32 or h % (4 * strip) or w % 64:
         raise ValueError(f"fused front needs H % {4 * strip} == 0 and "
                          f"W % 64 == 0, got {(h, w)}")
     cols = w // 4
@@ -380,10 +392,13 @@ def _front_kernel(g: FrontGeom, x_hbm, w0, b0, w1, b1, w12, b12, wm1,
     yo = _silu_f32(yo + b3[...])
     yo = jnp.where(c3_oks, yo, 0.0).astype(bf)    # (64, g.strip*g.cp)
 
-    # ---- write real cols [4, 4+g.cols) of each of the g.strip rows
-    for u in range(g.strip):
-        out_ref[0, :, u * g.cols:(u + 1) * g.cols] = (
-            yo[:, u * g.cp + 4:u * g.cp + 4 + g.cols])
+    # ---- one aligned block write, CP-padded rows intact (pad cols are
+    # zero via the domain mask); XLA strips the pad in the output
+    # transpose.  Slicing out the real cols here instead costs ~8
+    # lane-unaligned (offset +4, width 320) VMEM copies per cell — the
+    # DMA+write floor measured 3.67 ms/step of the 9.1 ms kernel with
+    # them (tools/probe_front_stages.py).
+    out_ref[0] = yo
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "geom"))
@@ -403,11 +418,11 @@ def front_fused(xp: jax.Array, w: Dict, interpret: bool = False,
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
     out = pl.pallas_call(
         functools.partial(_front_kernel, g),
-        out_shape=jax.ShapeDtypeStruct((B, 64, g.c3rows * g.cols), bf),
+        out_shape=jax.ShapeDtypeStruct((B, 64, g.c3rows * g.cp), bf),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + wspecs,
         out_specs=pl.BlockSpec(
-            (1, 64, g.strip * g.cols), lambda b, s: (b, 0, s),
+            (1, 64, g.strip * g.cp), lambda b, s: (b, 0, s),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 64, g.win * g.cp), bf),     # xw (double-buffered)
@@ -420,10 +435,14 @@ def front_fused(xp: jax.Array, w: Dict, interpret: bool = False,
             pltpu.VMEM((64, g.strip * g.cp), bf),      # cbuf
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # larger strips need more than the default 16 MB scoped-vmem
+        # budget; v5e has 128 MiB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, w["w0"], w["b0"], w["w1"], w["b1"], w["w12"], w["b12"],
       w["wm1"], w["bm1"], w["wm2"], w["bm2"], w["w3"], w["b3"])
-    out = out.reshape(B, 64, g.c3rows, g.cols)
+    out = out.reshape(B, 64, g.c3rows, g.cp)[:, :, :, 4:4 + g.cols]
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
