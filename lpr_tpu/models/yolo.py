@@ -934,7 +934,9 @@ class YoloModel:
 
     def apply(self, params: List[Params], x, decode: bool = True,
               train: bool = False, front: Optional[Any] = None,
-              mid: Optional[Any] = None):
+              mid: Optional[Any] = None,
+              packed_frames: Optional[Any] = None,
+              packed_hw: Optional[Any] = None):
         """Forward.  ``train=True`` switches BN to batch statistics and
         additionally returns a params pytree with EMA-updated running stats:
         ``(out, new_params)``.
@@ -945,9 +947,16 @@ class YoloModel:
         (inference only, bf16 input, geometry accepted by ``front_geom``).
         ``mid``: packed weights from
         :func:`lpr_tpu.ops.pallas.yolo_mid.mid_pack_from_params` — extends
-        the fused path through layers 3-4 (requires ``front``)."""
-        use_front = False
-        if front is not None and not train and x.dtype == jnp.bfloat16 \
+        the fused path through layers 3-4 (requires ``front``).
+        ``packed_frames`` (+ ``packed_hw`` (h, w)): host-packed uint8
+        quarter-grid input (pack_front_frames_host) consumed directly by
+        the fused front (requires ``front`` packed with input_scale=1/255);
+        ``x`` is ignored for the forward and may be None."""
+        use_front = use_packed = False
+        if packed_frames is not None:
+            assert front is not None and not train and packed_hw is not None
+            use_front = use_packed = True
+        elif front is not None and not train and x.dtype == jnp.bfloat16 \
                 and x.ndim == 4 and x.shape[3] == 3:
             from lpr_tpu.ops.pallas.yolo_front import front_geom
 
@@ -963,9 +972,15 @@ class YoloModel:
             y = x
             start = 0
             if use_front:
-                from lpr_tpu.ops.pallas.yolo_front import front_apply
+                from lpr_tpu.ops.pallas.yolo_front import (front_apply,
+                                                           front_fused,
+                                                           front_geom)
 
-                y = front_apply(x, front)
+                if use_packed:
+                    y = front_fused(packed_frames, front,
+                                    geom=front_geom(*packed_hw))
+                else:
+                    y = front_apply(x, front)
                 if 2 in self.save:
                     saved[2] = y
                 start = 3

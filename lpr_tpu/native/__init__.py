@@ -26,8 +26,12 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_SO):
-            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+        src = os.path.join(_DIR, "lpr_native.cc")
+        if not os.path.exists(_SO) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_SO)
+        ):
+            subprocess.run(["make", "-C", _DIR, "-s", "-B"], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(_SO)
         lib.lpr_load_letterbox_batch.restype = ctypes.c_int
@@ -42,6 +46,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
         lib.lpr_free.argtypes = [ctypes.c_void_p]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.lpr_pack_front_batch.restype = None
+        lib.lpr_pack_front_batch.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.lpr_letterbox_pack_batch.restype = None
+        lib.lpr_letterbox_pack_batch.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint8, ctypes.c_int,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -87,6 +103,33 @@ def load_letterbox_batch(
     lib.lpr_load_letterbox_batch(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         oh, ow, fill, n_threads,
+    )
+    return out
+
+
+def pack_front_batch(
+    frames: np.ndarray, det_hw, fill: int = 0, n_threads: int = 0
+) -> Optional[np.ndarray]:
+    """Letterbox + quarter-grid pack raw uint8 frames (N, H, W, 3) into the
+    fused front kernel's packed-input layout (N, 64, RP*CP) uint8
+    (PipelineConfig.packed_input; numpy reference
+    pack_front_frames_host).  Parallel C++; returns None when the native
+    library is unavailable (callers fall back to the numpy packer)."""
+    lib = _load()
+    if lib is None:
+        return None
+    from lpr_tpu.ops.pallas.yolo_front import front_geom
+
+    frames = np.ascontiguousarray(frames)
+    assert frames.dtype == np.uint8 and frames.ndim == 4, frames.shape
+    n, h, w, _ = frames.shape
+    oh, ow = det_hw
+    g = front_geom(oh, ow)
+    out = np.empty((n, 64, g.rp * g.cp), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.lpr_letterbox_pack_batch(
+        frames.ctypes.data_as(u8p), n, h, w, out.ctypes.data_as(u8p),
+        oh, ow, g.rp, g.cp, fill, n_threads,
     )
     return out
 

@@ -53,6 +53,20 @@ def resize_bicubic(x: Array, out_hw: Tuple[int, int]) -> Array:
     )
 
 
+def letterbox_geom(
+    h: int, w: int, out_hw: Tuple[int, int], scaleup: bool = True,
+) -> Tuple[float, Tuple[int, int], Tuple[int, int]]:
+    """Letterbox geometry only: (gain, (nh, nw), (pad_left, pad_top)).
+    Shared by :func:`letterbox` and host-side packers so coordinate
+    inversion stays exact when the resize happens off-device."""
+    oh, ow = out_hw
+    gain = min(oh / h, ow / w)
+    if not scaleup:
+        gain = min(gain, 1.0)
+    nh, nw = int(round(h * gain)), int(round(w * gain))
+    return gain, (nh, nw), ((ow - nw) // 2, (oh - nh) // 2)
+
+
 def letterbox(
     x: Array, out_hw: Tuple[int, int], fill: float = 114.0 / 255.0,
     scaleup: bool = True,
@@ -65,13 +79,9 @@ def letterbox(
     """
     b, h, w, c = x.shape
     oh, ow = out_hw
-    gain = min(oh / h, ow / w)
-    if not scaleup:
-        gain = min(gain, 1.0)
-    nh, nw = int(round(h * gain)), int(round(w * gain))
+    gain, (nh, nw), (pad_left, pad_top) = letterbox_geom(
+        h, w, out_hw, scaleup)
     resized = x if (nh, nw) == (h, w) else resize_bilinear(x, (nh, nw))
-    pad_top = (oh - nh) // 2
-    pad_left = (ow - nw) // 2
     out = jnp.pad(
         resized,
         ((0, 0), (pad_top, oh - nh - pad_top), (pad_left, ow - nw - pad_left),

@@ -172,6 +172,53 @@ def pack_front_frames_conv(x: jax.Array) -> jax.Array:
     return out.reshape(B, 64, g.rp * g.cp)
 
 
+def pack_front_frames_host(frames: np.ndarray, det_hw) -> np.ndarray:
+    """HOST-side letterbox + quarter-grid pack: raw uint8 frames
+    (B, H, W, 3) -> letterboxed ``det_hw`` -> packed (B, 64, RP*CP) uint8.
+
+    The packed-input serving path (PipelineConfig.packed_input): the
+    reference does its letterbox on the host too (ResizeImg /
+    letterbox(auto=False), my_models/detection.py:73-93), and on TPU the
+    pack transpose costs ~5.7 ms/step of pure layout work at bench
+    geometry — on the host it is a cheap reindex in the decode thread
+    pool.  Numpy mirror of :func:`pack_front_frames`; the kernel consumes
+    uint8 directly with 1/255 folded into the stem weights
+    (``pack_front_weights(input_scale=...)``).
+    """
+    from lpr_tpu.ops.image import letterbox_geom
+
+    frames = np.asarray(frames)
+    assert frames.dtype == np.uint8 and frames.ndim == 4, frames.shape
+    B, h, w, _ = frames.shape
+    oh, ow = det_hw
+    _, (nh, nw), (pl_, pt) = letterbox_geom(h, w, det_hw)
+    if (nh, nw) != (h, w):
+        try:
+            import cv2
+
+            resized = np.stack([
+                cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
+                for f in frames])
+        except ImportError:  # pragma: no cover
+            from PIL import Image
+
+            resized = np.stack([
+                np.asarray(Image.fromarray(f).resize((nw, nh),
+                                                     Image.BILINEAR))
+                for f in frames])
+    else:
+        resized = frames
+    lb = np.zeros((B, oh, ow, 3), np.uint8)
+    lb[:, pt:pt + nh, pl_:pl_ + nw] = resized
+    g = front_geom(oh, ow)
+    z = lb.reshape(B, g.c3rows, 2, 2, g.cols, 2, 2, 3)
+    z = np.ascontiguousarray(z.transpose(0, 2, 5, 7, 3, 6, 1, 4))
+    z = z.reshape(B, 4, 12, g.c3rows, g.cols)
+    z = np.pad(z, ((0, 0), (0, 0), (0, 4), (4, g.rp - g.c3rows - 4),
+                   (4, g.cp - g.cols - 4)))
+    return z.reshape(B, 64, g.rp * g.cp)
+
+
 def pack_front_input(x_s2d: jax.Array) -> jax.Array:
     """(B, H/2, W/2, 12) s2d plane -> (B, 64, RP*CP) (test convenience;
     production uses :func:`pack_front_frames` on the raw frames)."""
@@ -192,20 +239,23 @@ def _pad16(w2d: np.ndarray) -> np.ndarray:
     return out
 
 
-def pack_front_weights(p_stem: Dict, p_down: Dict, p_c3: Dict) -> Dict:
+def pack_front_weights(p_stem: Dict, p_down: Dict, p_c3: Dict,
+                       input_scale: float = 1.0) -> Dict:
     """BN-folded HWIO conv params -> kernel weight dict (bf16 device arrays).
 
     p_stem: {"w": (3,3,12,32) S2D-TRANSFORMED stem weights, "b": (32,)}
     p_down: {"w": (3,3,32,64), "b": (64,)}
     p_c3:   {"cv1": {w (1,1,64,32), b}, "cv2": {...}, "cv3": {w (1,1,64,64), b},
              "m": [{"cv1": {w (1,1,32,32), b}, "cv2": {w (3,3,32,32), b}}]}
+    input_scale: folded into the stem weights — 1/255 lets the kernel
+    consume raw uint8 packed frames (the host-packed serving path).
     """
     f32 = np.float32
 
     def mat(w):  # (1,1,ci,co) -> (co, ci)
         return np.asarray(w, f32)[0, 0].T
 
-    w0 = np.asarray(p_stem["w"], f32)    # (3,3,12,32)
+    w0 = np.asarray(p_stem["w"], f32) * f32(input_scale)   # (3,3,12,32)
     # K-rows grouped (dr, dx) x 16 padded channels
     w0k = np.concatenate(
         [_pad16(w0[dr, dx]) for dr in range(3) for dx in range(3)], 0
@@ -253,11 +303,13 @@ _TAP_EVEN = ((1, -1), (0, 0), (1, 0))   # output on even parity
 _TAP_ODD = ((0, 0), (1, 0), (0, 1))     # output on odd parity
 
 
-def _front_kernel(g: FrontGeom, x_hbm, w0, b0, w1, b1, w12, b12, wm1,
-                  bm1, wm2, bm2, w3, b3, out_ref, xw, a0, sq, a1, dbuf,
-                  p1, a2, cbuf, sem):
+def _front_kernel(g: FrontGeom, is_u8: bool, x_hbm, w0, b0, w1, b1, w12,
+                  b12, wm1, bm1, wm2, bm2, w3, b3, out_ref, xw, xwc, a0,
+                  sq, a1, dbuf, p1, a2, cbuf, sem):
     """One (image b, strip s) cell of geometry ``g`` (see module
-    docstring)."""
+    docstring).  ``is_u8``: the input window is uint8 (host-packed raw
+    frames, /255 folded into w0) and is cast once per cell into the
+    ``xwc`` bf16 scratch."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -294,6 +346,10 @@ def _front_kernel(g: FrontGeom, x_hbm, w0, b0, w1, b1, w12, b12, wm1,
         strip_copy(c + 1, (c + 1) % 2).start()
     strip_copy(c, slot).wait()
     xw = xw.at[slot]
+    if is_u8:
+        # Mosaic has no direct u8 -> bf16 cast; hop through int32/f32
+        xwc[...] = xw[...].astype(jnp.int32).astype(jnp.float32).astype(bf)
+        xw = xwc
 
     # ---- domain masks (lanes -> (row, col) of each grid)
     def domain_mask(nrows, row0, nvalid, step=1):
@@ -405,19 +461,23 @@ def _front_kernel(g: FrontGeom, x_hbm, w0, b0, w1, b1, w12, b12, wm1,
 def front_fused(xp: jax.Array, w: Dict, interpret: bool = False,
                 geom: Optional[FrontGeom] = None) -> jax.Array:
     """xp: packed input (B, 64, RP*CP) — 4 parity planes x 16 padded
-    channels (see pack_front_input).  Returns (B, H/4, W/4, 64) bf16.
+    channels (see pack_front_input) — bf16 normalized frames, or uint8
+    raw frames when the weights were packed with ``input_scale=1/255``
+    (host-packed path).  Returns (B, H/4, W/4, 64) bf16.
     ``geom`` defaults to the production 736x1280 geometry."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     g = geom or _G0
     assert xp.shape[1:] == (64, g.rp * g.cp), (xp.shape, g)
+    is_u8 = xp.dtype == jnp.uint8
+    assert is_u8 or xp.dtype == jnp.bfloat16, xp.dtype
     B = xp.shape[0]
     bf = jnp.bfloat16
     grid = (B, g.nstrip)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
     out = pl.pallas_call(
-        functools.partial(_front_kernel, g),
+        functools.partial(_front_kernel, g, is_u8),
         out_shape=jax.ShapeDtypeStruct((B, 64, g.c3rows * g.cp), bf),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + wspecs,
@@ -425,7 +485,10 @@ def front_fused(xp: jax.Array, w: Dict, interpret: bool = False,
             (1, 64, g.strip * g.cp), lambda b, s: (b, 0, s),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 64, g.win * g.cp), bf),     # xw (double-buffered)
+            # xw (double-buffered input windows, input dtype)
+            pltpu.VMEM((2, 64, g.win * g.cp), xp.dtype),
+            # xwc: u8 -> bf16 cast buffer (token-sized when unused)
+            pltpu.VMEM((64, g.win * g.cp) if is_u8 else (16, 128), bf),
             pltpu.VMEM((144, 4 * g.kq * g.cp), bf),    # a0 (4 planes)
             pltpu.VMEM((128, (g.kq + 2) * g.cp), bf),  # sq: 4 stem planes
             pltpu.VMEM((288, g.drows * g.cp), bf),     # a1
@@ -461,9 +524,12 @@ def _fold_conv(p: Dict) -> Dict:
     return {"w": w, "b": b}
 
 
-def front_pack_from_params(model, params):
+def front_pack_from_params(model, params, input_scale: float = 1.0):
     """Match the detector's first three layers against the fused-front
     pattern and return packed kernel weights, or None.
+
+    ``input_scale``: folded into the stem weights (1/255 for the uint8
+    host-packed input path).
 
     Requirements: layer0 = S2D-stem Conv(3->32, k6 s2 p2), layer1 =
     Conv(32->64, k3 s2), layer2 = C3(64->64, n=1, shortcut), sequential
@@ -501,7 +567,8 @@ def front_pack_from_params(model, params):
         "m": [{"cv1": _fold_conv(c3p["m"][0]["cv1"]),
                "cv2": _fold_conv(c3p["m"][0]["cv2"])}],
     }
-    return pack_front_weights(p_stem, p_down, p_c3)
+    return pack_front_weights(p_stem, p_down, p_c3,
+                              input_scale=input_scale)
 
 
 def front_apply(x: jax.Array, packed: Dict) -> jax.Array:

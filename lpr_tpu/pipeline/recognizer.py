@@ -97,6 +97,15 @@ class PipelineConfig:
     # 367 -> 551 fps/chip on the full pipeline (v5e, batch 32).  Costs a
     # recompile per weight swap; turn off for weight-hotswap serving.
     freeze_params: bool = True
+    # Host-packed detector input: the step takes an extra uint8
+    # (B, 64, RP*CP) quarter-grid tensor (pack_front_frames_host) and the
+    # fused front consumes it directly with 1/255 folded into the stem
+    # weights, skipping the on-device letterbox + pack transpose (~5.7
+    # ms/step of pure layout work at bench geometry; the reference also
+    # letterboxes on the host, my_models/detection.py:73-93).  Crops still
+    # come from the raw frames.  Requires the fused front (TPU + matching
+    # layers); :meth:`PlateRecognizer.recognize` packs automatically.
+    packed_input: bool = False
 
 
 def _aspect_canvas(img: jax.Array, canvas_hw: Tuple[int, int],
@@ -154,8 +163,9 @@ class PlateRecognizer:
 
             try:
                 front_geom(*cfg.det_hw)   # validates the geometry
-                self._front = front_pack_from_params(plate_model,
-                                                     plate_params)
+                self._front = front_pack_from_params(
+                    plate_model, plate_params,
+                    input_scale=1.0 / 255.0 if cfg.packed_input else 1.0)
             except ValueError:
                 self._front = None        # geometry unsupported -> XLA path
             if self._front is not None and cfg.fused_mid:
@@ -168,6 +178,11 @@ class PlateRecognizer:
                                                      plate_params)
                 except ValueError:
                     self._mid = None
+        if cfg.packed_input and self._front is None:
+            raise ValueError(
+                "PipelineConfig.packed_input requires the fused front "
+                "kernel (TPU backend, bf16, matching layer pattern and "
+                "geometry)")
         if cfg.int8_detector:
             from lpr_tpu.models.yolo import quantize_yolo
 
@@ -184,7 +199,9 @@ class PlateRecognizer:
 
             self._params = replicate(self._params, mesh)
             self._batch_sharding = bs = batch_sharding(mesh)
-            self._step = jax.jit(step, in_shardings=(replicated(mesh), bs))
+            data_in = (bs, bs) if cfg.packed_input else (bs,)
+            self._step = jax.jit(step,
+                                 in_shardings=(replicated(mesh),) + data_in)
         else:
             self._step = jax.jit(step)
         self._rebuild_frozen()
@@ -208,10 +225,16 @@ class PlateRecognizer:
         params, step = self._params, self._step_fn
         # plain closure (for embedding in outer jits, e.g. the bench scan)
         # + its jitted form for direct calls
-        self.step_frozen = lambda frames: step(params, frames)
+        if self.cfg.packed_input:
+            self.step_frozen = lambda frames, packed: step(params, frames,
+                                                           packed)
+        else:
+            self.step_frozen = lambda frames: step(params, frames)
         if self._batch_sharding is not None:
-            self._step_frozen = jax.jit(self.step_frozen,
-                                        in_shardings=(self._batch_sharding,))
+            nargs = 2 if self.cfg.packed_input else 1
+            self._step_frozen = jax.jit(
+                self.step_frozen,
+                in_shardings=(self._batch_sharding,) * nargs)
         else:
             self._step_frozen = jax.jit(self.step_frozen)
 
@@ -266,15 +289,27 @@ class PlateRecognizer:
             canv_long = _aspect_canvas(rgb, cfg.ocr_hw, (sh, sw))
             return jnp.where(is_long, canv_long, canv_sq)
 
-        def step(params, frames):
+        def _step_impl(params, frames, packed):
             B = frames.shape[0]
             P = cfg.max_plates
             x = frames.astype(cfg.dtype) / 255.0
             fh, fw = x.shape[1], x.shape[2]
-            lb, gain, pad = im.letterbox(x, cfg.det_hw, fill=0.0)
-            pred, _ = self.plate_model.apply(params["plate"], lb,
-                                             front=self._front,
-                                             mid=self._mid)
+            if packed is not None:
+                # host-packed detector input: letterbox geometry only
+                # (the resize/pad happened on the host, inside the pack)
+                gain_f, _, (pad_l, pad_t) = im.letterbox_geom(
+                    fh, fw, cfg.det_hw)
+                gain = jnp.float32(gain_f)
+                pad = jnp.asarray([pad_l, pad_t], jnp.float32)
+                pred, _ = self.plate_model.apply(
+                    params["plate"], None, front=self._front,
+                    mid=self._mid, packed_frames=packed,
+                    packed_hw=cfg.det_hw)
+            else:
+                lb, gain, pad = im.letterbox(x, cfg.det_hw, fill=0.0)
+                pred, _ = self.plate_model.apply(params["plate"], lb,
+                                                 front=self._front,
+                                                 mid=self._mid)
             det = nms_batched(
                 pred, cfg.det_conf, cfg.iou, max_det=16, pre_topk=64,
                 multi_label=True, agnostic=True, class_mask=self.plate_mask,
@@ -332,12 +367,19 @@ class PlateRecognizer:
                 ),
             }
 
+        if cfg.packed_input:
+            def step(params, frames, packed):
+                return _step_impl(params, frames, packed)
+        else:
+            def step(params, frames):
+                return _step_impl(params, frames, None)
         return step
 
     # ------------------------------------------------------------------
     def recognize(self, frames: np.ndarray) -> List[List[Dict[str, Any]]]:
         """frames: (B, H, W, 3) uint8 RGB.  Returns per-frame lists of plate
-        dicts with original-OCR and SR-OCR strings."""
+        dicts with original-OCR and SR-OCR strings.  In ``packed_input``
+        mode the quarter-grid pack runs here on the host."""
         return self.assemble(jax.device_get(self.step_raw(jnp.asarray(frames))))
 
     def assemble(self, out: Dict[str, Any]) -> List[List[Dict[str, Any]]]:
@@ -371,9 +413,27 @@ class PlateRecognizer:
             results.append(plates)
         return results
 
-    def step_raw(self, frames) -> Dict[str, Any]:
+    def step_raw(self, frames, packed=None) -> Dict[str, Any]:
         """Jitted device step only (for benchmarking / serving).  Uses the
-        frozen-weights program when ``cfg.freeze_params`` (default)."""
+        frozen-weights program when ``cfg.freeze_params`` (default).
+
+        In ``packed_input`` mode, ``packed`` is the host-packed uint8
+        quarter-grid tensor (``pack_front_frames_host``); when omitted it
+        is computed here from ``frames``."""
+        if self.cfg.packed_input:
+            if packed is None:
+                from lpr_tpu import native
+                from lpr_tpu.ops.pallas.yolo_front import \
+                    pack_front_frames_host
+
+                fr = np.asarray(frames)
+                pk = native.pack_front_batch(fr, self.cfg.det_hw)
+                if pk is None:  # no native toolchain -> numpy packer
+                    pk = pack_front_frames_host(fr, self.cfg.det_hw)
+                packed = jnp.asarray(pk)
+            if self._step_frozen is not None:
+                return self._step_frozen(frames, packed)
+            return self._step(self.params, frames, packed)
         if self._step_frozen is not None:
             return self._step_frozen(frames)
         return self._step(self.params, frames)

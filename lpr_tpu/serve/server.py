@@ -312,8 +312,6 @@ class InferenceServer:
         """Assemble a batch and start its device step (async dispatch).
         Returns (device_out, items, n, pad) or None on failure (futures are
         resolved with the error)."""
-        import jax.numpy as jnp
-
         n = len(items)
         try:
             # batch assembly inside the try: any failure here must
@@ -332,7 +330,11 @@ class InferenceServer:
                     self.stats.record(now - t0)
                     fut.set_result(res)
                 return None
-            out = self.rec.step_raw(jnp.asarray(batch))
+            # numpy batch straight through: in packed_input mode step_raw
+            # runs the native host letterbox+quarter-grid pack (parallel
+            # C++) on it before the device put, so the pack overlaps the
+            # previous batch's device step in this one-deep pipeline
+            out = self.rec.step_raw(batch)
         except Exception as e:
             for _, fut, _ in items:
                 if not fut.done():

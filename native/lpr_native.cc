@@ -107,28 +107,82 @@ void letterbox_into(const uint8_t* src, int sw, int sh, uint8_t* dst, int oh,
   int nh = std::max(1, static_cast<int>(sh * r + 0.5));
   int nw = std::max(1, static_cast<int>(sw * r + 0.5));
   int top = (oh - nh) / 2, left = (ow - nw) / 2;
+  if (nh == sh && nw == sw) {  // pad-only: row memcpy, no resample
+    for (int y = 0; y < nh; ++y)
+      memcpy(dst + (static_cast<size_t>(top + y) * ow + left) * 3,
+             src + static_cast<size_t>(y) * sw * 3,
+             static_cast<size_t>(sw) * 3);
+    return;
+  }
   double sy_step = static_cast<double>(sh) / nh;
   double sx_step = static_cast<double>(sw) / nw;
+  // precomputed per-column taps/weights (the row loop reuses them)
+  std::vector<int> xs0(nw), xs1(nw);
+  std::vector<float> wxs(nw);
+  for (int x = 0; x < nw; ++x) {
+    double fx = (x + 0.5) * sx_step - 0.5;
+    int x0 = fx < 0 ? 0 : static_cast<int>(fx);
+    xs0[x] = x0;
+    xs1[x] = x0 + 1 < sw ? x0 + 1 : sw - 1;
+    double wx = fx - x0;
+    wxs[x] = wx < 0 ? 0.0f : static_cast<float>(wx);
+  }
   for (int y = 0; y < nh; ++y) {
     double fy = (y + 0.5) * sy_step - 0.5;
     int y0 = fy < 0 ? 0 : static_cast<int>(fy);
     int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
-    double wy = fy - y0;
-    if (wy < 0) wy = 0;
+    float wy = fy < y0 ? 0.0f : static_cast<float>(fy - y0);
     uint8_t* drow = dst + (static_cast<size_t>(top + y) * ow + left) * 3;
     const uint8_t* s0 = src + static_cast<size_t>(y0) * sw * 3;
     const uint8_t* s1 = src + static_cast<size_t>(y1) * sw * 3;
     for (int x = 0; x < nw; ++x) {
-      double fx = (x + 0.5) * sx_step - 0.5;
-      int x0 = fx < 0 ? 0 : static_cast<int>(fx);
-      int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
-      double wx = fx - x0;
-      if (wx < 0) wx = 0;
+      int x0 = xs0[x] * 3, x1 = xs1[x] * 3;
+      float wx = wxs[x];
       for (int c = 0; c < 3; ++c) {
-        double top_v = s0[x0 * 3 + c] * (1 - wx) + s0[x1 * 3 + c] * wx;
-        double bot_v = s1[x0 * 3 + c] * (1 - wx) + s1[x1 * 3 + c] * wx;
+        float top_v = s0[x0 + c] * (1 - wx) + s0[x1 + c] * wx;
+        float bot_v = s1[x0 + c] * (1 - wx) + s1[x1 + c] * wx;
         drow[x * 3 + c] =
-            static_cast<uint8_t>(top_v * (1 - wy) + bot_v * wy + 0.5);
+            static_cast<uint8_t>(top_v * (1 - wy) + bot_v * wy + 0.5f);
+      }
+    }
+  }
+}
+
+// Quarter-grid pack of one letterboxed (oh, ow, 3) RGB frame into the
+// fused front kernel's input layout: 4 parity planes x 16 channels (12
+// S2D channels + 4 zero pads) over the (oh/4, ow/4) quarter grid, rows
+// padded 4 + to rp, cols padded 4 + to cp (lpr_tpu/ops/pallas/yolo_front.py
+// pack_front_frames_host is the numpy reference; ~13 ms/frame there vs
+// ~1 ms here — the host feeder for the packed-input serving path).
+//
+// Mapping: lb[rr*4 + b1*2 + b2, cc*4 + d1*2 + d2, ch] ->
+//   out[(b1*2 + d1)*16 + ch*4 + b2*2 + d2, (rr+4)*cp + cc+4]
+void pack_front_into(const uint8_t* lb, int oh, int ow, uint8_t* out, int rp,
+                     int cp) {
+  int c3rows = oh / 4, cols = ow / 4;
+  size_t plane = static_cast<size_t>(rp) * cp;
+  memset(out, 0, 64 * plane);
+  for (int rr = 0; rr < c3rows; ++rr) {
+    for (int sub = 0; sub < 4; ++sub) {  // input row rr*4 + b1*2 + b2
+      int b1 = sub >> 1, b2 = sub & 1;
+      const uint8_t* src = lb + (static_cast<size_t>(rr) * 4 + sub) * ow * 3;
+      // 12 destination rows for this input row: (d1, d2, ch)
+      uint8_t* dst[2][2][3];
+      for (int d1 = 0; d1 < 2; ++d1)
+        for (int d2 = 0; d2 < 2; ++d2)
+          for (int ch = 0; ch < 3; ++ch)
+            dst[d1][d2][ch] =
+                out + ((b1 * 2 + d1) * 16 + ch * 4 + b2 * 2 + d2) * plane +
+                static_cast<size_t>(rr + 4) * cp + 4;
+      for (int cc = 0; cc < cols; ++cc) {
+        const uint8_t* px = src + static_cast<size_t>(cc) * 12;  // 4 px RGB
+        for (int d1 = 0; d1 < 2; ++d1)
+          for (int d2 = 0; d2 < 2; ++d2) {
+            const uint8_t* p = px + (d1 * 2 + d2) * 3;
+            dst[d1][d2][0][cc] = p[0];
+            dst[d1][d2][1][cc] = p[1];
+            dst[d1][d2][2][cc] = p[2];
+          }
       }
     }
   }
@@ -212,6 +266,58 @@ int lpr_load_letterbox_batch(const char** paths, int n, uint8_t* out, int oh,
   for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return ok.load();
+}
+
+// Parallel quarter-grid pack of pre-letterboxed frames (n, oh, ow, 3)
+// uint8 -> (n, 64, rp*cp) uint8 (fused-front kernel input layout).
+void lpr_pack_front_batch(const uint8_t* lb, int n, int oh, int ow,
+                          uint8_t* out, int rp, int cp, int n_threads) {
+  std::atomic<int> next{0};
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = n;
+  size_t in_sz = static_cast<size_t>(oh) * ow * 3;
+  size_t out_sz = 64 * static_cast<size_t>(rp) * cp;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      pack_front_into(lb + i * in_sz, oh, ow, out + i * out_sz, rp, cp);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+// Raw frames (n, h, w, 3) uint8: letterbox to (oh, ow) with `fill` +
+// quarter-grid pack -> (n, 64, rp*cp).  The full host side of the
+// packed-input serving path in one parallel call.
+void lpr_letterbox_pack_batch(const uint8_t* frames, int n, int h, int w,
+                              uint8_t* out, int oh, int ow, int rp, int cp,
+                              uint8_t fill, int n_threads) {
+  std::atomic<int> next{0};
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = n;
+  size_t in_sz = static_cast<size_t>(h) * w * 3;
+  size_t lb_sz = static_cast<size_t>(oh) * ow * 3;
+  size_t out_sz = 64 * static_cast<size_t>(rp) * cp;
+  auto worker = [&]() {
+    std::vector<uint8_t> lb(lb_sz);
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      const uint8_t* src = frames + i * in_sz;
+      if (h == oh && w == ow) {
+        pack_front_into(src, oh, ow, out + i * out_sz, rp, cp);
+      } else {
+        letterbox_into(src, w, h, lb.data(), oh, ow, fill);
+        pack_front_into(lb.data(), oh, ow, out + i * out_sz, rp, cp);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
 }
 
 }  // extern "C"

@@ -50,3 +50,26 @@ def test_batch_missing_file(img_files):
                                (64, 64), fill=7)
     assert out.shape == (2, 64, 64, 3)
     assert (out[1] == 7).all()  # failed slot filled
+
+
+def test_pack_front_batch_matches_numpy():
+    """Native letterbox+quarter-grid pack == the numpy reference packer.
+
+    Pad-only geometry (720p -> 736x1280) must be byte-exact; a true
+    resize may differ by 1 LSB (float vs numpy/cv2 bilinear rounding)."""
+    from lpr_tpu.native import pack_front_batch
+    from lpr_tpu.ops.pallas.yolo_front import front_geom, \
+        pack_front_frames_host
+
+    rng = np.random.RandomState(3)
+    g = front_geom(736, 1280)
+    frames = rng.randint(0, 256, (2, 720, 1280, 3), np.uint8)
+    a = pack_front_batch(frames, (736, 1280))
+    assert a is not None and a.shape == (2, 64, g.rp * g.cp)
+    np.testing.assert_array_equal(
+        a, pack_front_frames_host(frames, (736, 1280)))
+
+    small = rng.randint(0, 256, (1, 360, 640, 3), np.uint8)
+    b = pack_front_batch(small, (736, 1280))
+    ref = pack_front_frames_host(small, (736, 1280))
+    assert np.abs(b.astype(int) - ref.astype(int)).max() <= 1

@@ -247,3 +247,49 @@ def test_rect_pipeline_matches_square():
         area = lambda b: (b[2] - b[0]) * (b[3] - b[1])  # noqa: E731
         iou = inter / (area(bx) + area(by) - inter)
         assert iou > 0.8, (iou, bx, by)
+
+
+@pytest.mark.slow
+def test_front_fused_u8_host_packed_matches_reference():
+    """uint8 host-packed input path: pack_front_frames_host on raw uint8
+    frames + input_scale=1/255 weights must match the XLA reference on
+    the normalized frames (the packed-input serving path)."""
+    from lpr_tpu.ops import nn as tnn
+    from lpr_tpu.ops.pallas.yolo_front import (front_geom,
+                                               pack_front_frames_host)
+
+    rng = np.random.RandomState(1)
+    p_stem, p_down, p_c3 = _rand_params(rng)
+    frames = rng.randint(0, 256, (1, 720, 1280, 3), np.uint8)
+
+    xp = jnp.asarray(pack_front_frames_host(frames, (736, 1280)))
+    assert xp.dtype == jnp.uint8
+    w = pack_front_weights(p_stem, p_down, p_c3, input_scale=1.0 / 255.0)
+    g = front_geom(736, 1280)
+    got = np.asarray(front_fused(xp, w, interpret=True, geom=g), np.float32)
+
+    # reference: letterbox (8-row zero pad) -> /255 bf16 -> s2d -> XLA
+    lb = np.zeros((1, 736, 1280, 3), np.float32)
+    lb[:, 8:728] = frames / 255.0
+    x_s2d = tnn.pixel_unshuffle(jnp.asarray(lb, jnp.bfloat16), 2)
+    ref = np.asarray(front_reference(x_s2d, p_stem, p_down, p_c3),
+                     np.float32)
+
+    assert got.shape == ref.shape == (1, 184, 320, 64)
+    err = np.abs(got - ref)
+    # extra slack vs the bf16 test: u8*(w/255) vs bf16(u8/255)*w round
+    # differently at the input quantization step
+    assert err.max() < 0.06, (err.max(), np.argwhere(err > 0.06)[:5])
+    assert err[:, 2:-2, 2:-2, :].mean() < 0.006
+
+
+def test_pack_front_frames_host_matches_device_pack():
+    """Numpy host packer == the JAX pack on a pre-letterboxed frame."""
+    from lpr_tpu.ops.pallas.yolo_front import (pack_front_frames,
+                                               pack_front_frames_host)
+
+    rng = np.random.RandomState(2)
+    lb = rng.randint(0, 256, (2, 736, 1280, 3), np.uint8)
+    a = pack_front_frames_host(lb, (736, 1280))
+    b = np.asarray(pack_front_frames(jnp.asarray(lb)))
+    np.testing.assert_array_equal(a, b)

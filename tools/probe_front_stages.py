@@ -214,6 +214,8 @@ def make_variant(stage):
                 pltpu.VMEM((64, g.strip * g.cp), bf),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(xp, w["w0"], w["b0"], w["w1"], w["b1"], w["w12"], w["b12"],
           w["wm1"], w["bm1"], w["wm2"], w["bm2"], w["w3"], w["b3"])
 
