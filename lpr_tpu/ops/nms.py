@@ -16,7 +16,7 @@ box size gate (general.py:694-696), conf = obj * cls.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +89,7 @@ def nms_single(
     multi_label: bool = True,
     agnostic: bool = True,
     class_mask: Optional[jax.Array] = None,
+    class_ids: Optional[Tuple[int, ...]] = None,
     merge: bool = False,
     redundant: bool = True,
 ) -> dict:
@@ -97,6 +98,12 @@ def nms_single(
     pred: (N, 5+nc) raw decoded predictions (xywh px, obj, cls probs).
     class_mask: optional (nc,) bool — keep only these classes (the
     reference's ``classes=`` filter).
+    class_ids: static variant of ``class_mask``: a compile-time tuple of
+    kept class indices.  The candidate search then runs over the (N,
+    len(class_ids)) score slice instead of masking the full (N, nc)
+    matrix — on the plate stage (2 of 11 classes over ~58K anchors) this
+    shrinks the approx_max_k input 5.5x.  Semantically identical to the
+    equivalent ``class_mask``.
     merge: weighted-box-merge NMS (reference general.py:755-763): each kept
     box becomes the score-weighted mean of all candidates overlapping it
     above ``iou_thres``; with ``redundant`` (reference default), kept boxes
@@ -115,24 +122,34 @@ def nms_single(
         jnp.all(wh >= MIN_WH, axis=-1), jnp.all(wh <= MAX_WH, axis=-1)
     )
     obj = jnp.where(size_ok, obj, 0.0)
-    cls_probs = pred[:, 5:].astype(f32)
-    scores_mat = obj[:, None] * cls_probs  # (N, nc)
+    if class_ids is not None:
+        cls_cols = jnp.asarray(class_ids, jnp.int32)
+        cls_probs = pred[:, 5:][:, cls_cols].astype(f32)
+        ncc = len(class_ids)
+    else:
+        cls_probs = pred[:, 5:].astype(f32)
+        ncc = nc
+    scores_mat = obj[:, None] * cls_probs  # (N, ncc)
     if class_mask is not None:
-        scores_mat = jnp.where(class_mask[None, :], scores_mat, 0.0)
+        cols = class_mask if class_ids is None else class_mask[cls_cols]
+        scores_mat = jnp.where(cols[None, :], scores_mat, 0.0)
+
+    def to_full_class(idx):
+        return cls_cols[idx] if class_ids is not None else idx
 
     # Candidate selection via approx_max_k: the TPU-native partial-sort
     # (2.2x faster than lax.top_k on the 1.1M-candidate plate stage at
     # recall 0.95+; NMS keeps far fewer than pre_topk boxes so the tiny
     # recall slack is immaterial).
-    if multi_label and nc > 1:
-        flat = scores_mat.reshape(-1)  # (N*nc,)
+    if multi_label and ncc > 1:
+        flat = scores_mat.reshape(-1)  # (N*ncc,)
         # the reference's obj gate (general.py:689 ``xc``) is implied:
         # obj*cls > conf  =>  obj > conf  since cls = sigmoid(.) <= 1
         flat = jnp.where(flat > conf_thres, flat, -1.0)
         k = min(pre_topk, flat.shape[0])
         top_scores, top_idx = jax.lax.approx_max_k(flat, k, recall_target=0.98)
-        box_idx = top_idx // nc
-        cls_idx = top_idx % nc
+        box_idx = top_idx // ncc
+        cls_idx = to_full_class(top_idx % ncc)
     else:
         best = jnp.max(scores_mat, axis=-1)
         cls_of = jnp.argmax(scores_mat, axis=-1)
@@ -140,7 +157,7 @@ def nms_single(
         best = jnp.where(gate, best, -1.0)
         k = min(pre_topk, best.shape[0])
         top_scores, box_idx = jax.lax.approx_max_k(best, k, recall_target=0.98)
-        cls_idx = cls_of[box_idx]
+        cls_idx = to_full_class(cls_of[box_idx])
 
     valid = top_scores > conf_thres
     boxes = xywh2xyxy(pred[box_idx, :4].astype(f32))
@@ -185,6 +202,7 @@ def nms_batched(
     multi_label: bool = True,
     agnostic: bool = True,
     class_mask: Optional[jax.Array] = None,
+    class_ids: Optional[Tuple[int, ...]] = None,
     merge: bool = False,
     redundant: bool = True,
 ) -> dict:
@@ -197,6 +215,7 @@ def nms_batched(
         pre_topk=pre_topk,
         multi_label=multi_label,
         agnostic=agnostic,
+        class_ids=class_ids,
         merge=merge,
         redundant=redundant,
     )

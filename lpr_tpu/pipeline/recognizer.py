@@ -154,6 +154,7 @@ class PlateRecognizer:
         mask = np.zeros((plate_model.nc,), bool)
         mask[list(plate_class_ids)] = True
         self.plate_mask = jnp.asarray(mask)
+        self.plate_class_ids = tuple(int(i) for i in plate_class_ids)
         self._front = None
         self._mid = None
         if (cfg.fused_front and cfg.dtype == jnp.bfloat16
@@ -312,7 +313,8 @@ class PlateRecognizer:
                                                  mid=self._mid)
             det = nms_batched(
                 pred, cfg.det_conf, cfg.iou, max_det=16, pre_topk=64,
-                multi_label=True, agnostic=True, class_mask=self.plate_mask,
+                multi_label=True, agnostic=True,
+                class_ids=self.plate_class_ids,
             )
             # letterbox -> original frame coords
             boxes = (det["boxes"] - jnp.concatenate([pad, pad])) / gain

@@ -128,6 +128,37 @@ def test_nms_class_filter():
     assert int(out["classes"][0, 0]) == 1
 
 
+def test_nms_class_ids_matches_mask():
+    """Static class-subset candidate selection (class_ids=) is semantically
+    identical to the equivalent class_mask — the pipeline's plate stage uses
+    the subset form (2 of 11 classes) to shrink the approx_max_k input."""
+    rng = np.random.RandomState(3)
+    nc = 11
+    pred = np.zeros((2, 400, 5 + nc), np.float32)
+    pred[..., 0:2] = rng.uniform(40, 600, (2, 400, 2))
+    pred[..., 2:4] = rng.uniform(8, 60, (2, 400, 2))
+    pred[..., 4] = rng.uniform(0, 1, (2, 400))
+    pred[..., 5:] = rng.uniform(0, 1, (2, 400, nc))
+    ids = (7, 8)
+    mask = np.zeros((nc,), bool)
+    mask[list(ids)] = True
+    a = jax.jit(lambda p: nms_batched(
+        p, conf_thres=0.5, iou_thres=0.3, max_det=16, pre_topk=64,
+        class_mask=jnp.asarray(mask)))(jnp.asarray(pred))
+    b = jax.jit(lambda p: nms_batched(
+        p, conf_thres=0.5, iou_thres=0.3, max_det=16, pre_topk=64,
+        class_ids=ids))(jnp.asarray(pred))
+    assert int(a["count"].sum()) > 0
+    np.testing.assert_array_equal(np.asarray(a["count"]),
+                                  np.asarray(b["count"]))
+    np.testing.assert_array_equal(np.asarray(a["classes"]),
+                                  np.asarray(b["classes"]))
+    np.testing.assert_allclose(np.asarray(a["boxes"]),
+                               np.asarray(b["boxes"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a["scores"]),
+                               np.asarray(b["scores"]), atol=1e-6)
+
+
 @requires_ref
 def test_detector_wrapper_reads_synthetic_plate():
     """Detector convenience API end-to-end: real char model reads a plate."""
