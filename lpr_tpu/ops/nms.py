@@ -20,6 +20,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lpr_tpu.ops.boxes import box_iou, xywh2xyxy
 
@@ -161,6 +162,16 @@ def nms_single(
 
     valid = top_scores > conf_thres
     boxes = xywh2xyxy(pred[box_idx, :4].astype(f32))
+    return _suppress_and_compact(boxes, top_scores, cls_idx, valid,
+                                 iou_thres, max_det, agnostic, merge,
+                                 redundant)
+
+
+def _suppress_and_compact(boxes, top_scores, cls_idx, valid, iou_thres,
+                          max_det, agnostic, merge, redundant):
+    """Shared NMS tail: greedy suppression over score-sorted xyxy candidates
+    + optional weighted merge + compaction to (max_det, ...) outputs."""
+    f32 = jnp.float32
     if agnostic:
         shifted = boxes
     else:
@@ -222,3 +233,124 @@ def nms_batched(
     if class_mask is not None:
         return jax.vmap(lambda p: fn(p, class_mask=class_mask))(pred)
     return jax.vmap(fn)(pred)
+
+
+def nms_from_raw(
+    raws: Sequence[jax.Array],
+    strides: Sequence[float],
+    anchors,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 512,
+    multi_label: bool = True,
+    agnostic: bool = True,
+    class_ids: Optional[Tuple[int, ...]] = None,
+    merge: bool = False,
+    redundant: bool = True,
+) -> dict:
+    """Lazy-decode batched NMS straight from raw Detect logits.
+
+    The eager path (``Detect.__call__ decode=True`` + :func:`nms_batched`)
+    sigmoids and grid/anchor-decodes ALL ``N = sum(na*ny*nx)`` predictions
+    (58K at 736x1280) only for NMS to keep ``pre_topk`` of them.  This
+    variant selects candidates first — scores need just the obj column and
+    the (subset of) class columns — then gathers the ``pre_topk`` winners'
+    raw xywh logits and applies the exact decode math
+    (``models/yolo.py:Detect``: xy=(2s-0.5+grid)*stride, wh=(2s)^2*anchor,
+    reference ``yolov5/models/yolo.py:49-70``) to those alone.  Saves the
+    full-grid sigmoid/decode/concat materialization (~2 ms/step at bench
+    geometry).
+
+    raws: per-scale ``(B, na, ny, nx, 5+nc)`` logits
+    (``YoloModel.apply(..., decode=False)``).  strides/anchors: the Detect
+    layer's ``strides`` and ``anchors`` (grid units, ``(nl, na, 2)``).
+
+    Exactness: scores and decoded boxes are bit-identical to the eager
+    path (same dtypes, same op order).  The only semantic difference is the
+    MIN_WH/MAX_WH degenerate-box gate (general.py:694-696), which here
+    applies AFTER candidate selection (the eager path zeroes gated obj
+    before top-k) — a gated candidate can occupy a top-``pre_topk`` slot.
+    With real anchors the gate only fires on sub-2px boxes; differences
+    require >pre_topk above-threshold candidates in one image.
+    """
+    f32 = jnp.float32
+    B = raws[0].shape[0]
+    no = int(raws[0].shape[-1])
+    nc = no - 5
+    cdtype = raws[0].dtype
+    anchors = np.asarray(anchors, np.float32)
+
+    # Per-candidate decode constants, in the exact flatten order of the
+    # eager path: scale-major, then (na, ny, nx) row-major.
+    gx_l, gy_l, anc_l, st_l = [], [], [], []
+    for l, r in enumerate(raws):
+        na, ny, nx = int(r.shape[1]), int(r.shape[2]), int(r.shape[3])
+        gy, gx = np.meshgrid(np.arange(ny, dtype=np.float32),
+                             np.arange(nx, dtype=np.float32), indexing="ij")
+        gx_l.append(np.broadcast_to(gx, (na, ny, nx)).reshape(-1))
+        gy_l.append(np.broadcast_to(gy, (na, ny, nx)).reshape(-1))
+        anc_l.append(np.repeat(anchors[l] * float(strides[l]),
+                               ny * nx, axis=0).reshape(na * ny * nx, 2))
+        st_l.append(np.full((na * ny * nx,), float(strides[l]), np.float32))
+    grid = jnp.asarray(
+        np.stack([np.concatenate(gx_l), np.concatenate(gy_l)], -1), cdtype)
+    anc = jnp.asarray(np.concatenate(anc_l, 0), cdtype)      # (N, 2) px
+    stv = jnp.asarray(np.concatenate(st_l), cdtype)          # (N,)
+
+    # Selection inputs: obj sigmoid (B, N) and class-column sigmoids
+    # (B, N, ncc) — computed in the raw dtype then f32, exactly like the
+    # eager decode (bf16 sigmoid) -> nms (f32 product).
+    if class_ids is not None:
+        cols = jnp.asarray(class_ids, jnp.int32)
+        cls_cols = [r[..., 5:][..., cols] for r in raws]
+        ncc = len(class_ids)
+    else:
+        cls_cols = [r[..., 5:] for r in raws]
+        ncc = nc
+    obj = jnp.concatenate(
+        [jax.nn.sigmoid(r[..., 4]).reshape(B, -1) for r in raws], 1
+    ).astype(f32)
+    cls = jnp.concatenate(
+        [jax.nn.sigmoid(c).reshape(B, -1, ncc) for c in cls_cols], 1
+    ).astype(f32)
+    txywh = jnp.concatenate([r[..., :4].reshape(B, -1, 4) for r in raws], 1)
+
+    def to_full_class(idx):
+        return cols[idx] if class_ids is not None else idx
+
+    def single(obj_i, cls_i, t_i):
+        scores_mat = obj_i[:, None] * cls_i  # (N, ncc)
+        if multi_label and ncc > 1:
+            flat = scores_mat.reshape(-1)
+            flat = jnp.where(flat > conf_thres, flat, -1.0)
+            k = min(pre_topk, flat.shape[0])
+            top_scores, top_idx = jax.lax.approx_max_k(
+                flat, k, recall_target=0.98)
+            box_idx = top_idx // ncc
+            cls_idx = to_full_class(top_idx % ncc)
+        else:
+            best = jnp.max(scores_mat, axis=-1)
+            cls_of = jnp.argmax(scores_mat, axis=-1)
+            gate = jnp.logical_and(best > conf_thres, obj_i > conf_thres)
+            best = jnp.where(gate, best, -1.0)
+            k = min(pre_topk, best.shape[0])
+            top_scores, box_idx = jax.lax.approx_max_k(
+                best, k, recall_target=0.98)
+            cls_idx = to_full_class(cls_of[box_idx])
+
+        # decode ONLY the selected candidates (Detect decode math, bf16)
+        t = t_i[box_idx]  # (K, 4)
+        sig = jax.nn.sigmoid(t)
+        xy = (sig[:, 0:2] * 2.0 - 0.5 + grid[box_idx]) * stv[box_idx, None]
+        wh = (sig[:, 2:4] * 2.0) ** 2 * anc[box_idx]
+        size_ok = jnp.logical_and(jnp.all(wh >= MIN_WH, -1),
+                                  jnp.all(wh <= MAX_WH, -1))
+        top_scores = jnp.where(size_ok, top_scores, -1.0)
+        valid = top_scores > conf_thres
+        boxes = xywh2xyxy(jnp.concatenate([xy, wh], -1).astype(f32))
+        return _suppress_and_compact(boxes, top_scores, cls_idx, valid,
+                                     iou_thres, max_det, agnostic, merge,
+                                     redundant)
+
+    return jax.vmap(single)(obj, cls, txywh)

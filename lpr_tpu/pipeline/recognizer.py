@@ -39,7 +39,7 @@ from lpr_tpu.models.lpsr import LPSRConfig, lpsr_apply
 from lpr_tpu.models.yolo import YoloModel
 from lpr_tpu.ops import image as im
 from lpr_tpu.ops.boxes import clip_boxes
-from lpr_tpu.ops.nms import nms_batched
+from lpr_tpu.ops.nms import nms_batched, nms_from_raw
 from lpr_tpu.pipeline.chars import detections_to_string
 
 # Plate-detector class names (reference yolo_classes/detect_class_names.txt).
@@ -97,6 +97,13 @@ class PipelineConfig:
     # 367 -> 551 fps/chip on the full pipeline (v5e, batch 32).  Costs a
     # recompile per weight swap; turn off for weight-hotswap serving.
     freeze_params: bool = True
+    # Lazy-decode NMS (ops/nms.py:nms_from_raw): candidate selection runs
+    # on the raw Detect logits and the grid/anchor decode is applied only
+    # to the selected pre_topk candidates, skipping the full-grid
+    # sigmoid/decode/concat (~2 ms/step at bench geometry).  Bit-identical
+    # boxes/scores; see nms_from_raw's note on the sub-2px degenerate-box
+    # gate ordering.
+    lazy_decode: bool = True
     # Host-packed detector input: the step takes an extra uint8
     # (B, 64, RP*CP) quarter-grid tensor (pack_front_frames_host) and the
     # fused front consumes it directly with 1/255 folded into the stem
@@ -295,6 +302,7 @@ class PlateRecognizer:
             P = cfg.max_plates
             x = frames.astype(cfg.dtype) / 255.0
             fh, fw = x.shape[1], x.shape[2]
+            decode = not cfg.lazy_decode
             if packed is not None:
                 # host-packed detector input: letterbox geometry only
                 # (the resize/pad happened on the host, inside the pack)
@@ -302,20 +310,23 @@ class PlateRecognizer:
                     fh, fw, cfg.det_hw)
                 gain = jnp.float32(gain_f)
                 pad = jnp.asarray([pad_l, pad_t], jnp.float32)
-                pred, _ = self.plate_model.apply(
+                out = self.plate_model.apply(
                     params["plate"], None, front=self._front,
                     mid=self._mid, packed_frames=packed,
-                    packed_hw=cfg.det_hw)
+                    packed_hw=cfg.det_hw, decode=decode)
             else:
                 lb, gain, pad = im.letterbox(x, cfg.det_hw, fill=0.0)
-                pred, _ = self.plate_model.apply(params["plate"], lb,
-                                                 front=self._front,
-                                                 mid=self._mid)
-            det = nms_batched(
-                pred, cfg.det_conf, cfg.iou, max_det=16, pre_topk=64,
-                multi_label=True, agnostic=True,
-                class_ids=self.plate_class_ids,
-            )
+                out = self.plate_model.apply(params["plate"], lb,
+                                             front=self._front,
+                                             mid=self._mid, decode=decode)
+            nms_kw = dict(max_det=16, pre_topk=64, multi_label=True,
+                          agnostic=True, class_ids=self.plate_class_ids)
+            if cfg.lazy_decode:
+                det = nms_from_raw(out, self.plate_model.strides,
+                                   self.plate_model.anchors,
+                                   cfg.det_conf, cfg.iou, **nms_kw)
+            else:
+                det = nms_batched(out[0], cfg.det_conf, cfg.iou, **nms_kw)
             # letterbox -> original frame coords
             boxes = (det["boxes"] - jnp.concatenate([pad, pad])) / gain
             boxes = clip_boxes(boxes, fh, fw)
@@ -348,11 +359,17 @@ class PlateRecognizer:
                 )  # (2*B*P, oh, ow, 3)
             else:
                 ocr_in = ocr_sr
-            cpred, _ = self.char_model.apply(params["char"], ocr_in.astype(cfg.dtype))  # sr canvas is f32
-            cdet = nms_batched(
-                cpred, cfg.ocr_conf, cfg.iou, max_det=cfg.max_chars,
-                pre_topk=128, multi_label=True, agnostic=True,
-            )
+            cout = self.char_model.apply(params["char"],
+                                         ocr_in.astype(cfg.dtype),
+                                         decode=decode)  # sr canvas is f32
+            cnms_kw = dict(max_det=cfg.max_chars, pre_topk=128,
+                           multi_label=True, agnostic=True)
+            if cfg.lazy_decode:
+                cdet = nms_from_raw(cout, self.char_model.strides,
+                                    self.char_model.anchors,
+                                    cfg.ocr_conf, cfg.iou, **cnms_kw)
+            else:
+                cdet = nms_batched(cout[0], cfg.ocr_conf, cfg.iou, **cnms_kw)
             return {
                 "plate_boxes": sel_boxes,
                 "plate_scores": sel_scores,

@@ -14,7 +14,7 @@ from lpr_tpu.models.yolo import (
     plate_detector,
     yolov5_spec,
 )
-from lpr_tpu.ops.nms import nms_batched, nms_single
+from lpr_tpu.ops.nms import nms_batched, nms_from_raw, nms_single
 
 from .conftest import REF_CHAR, requires_ref
 
@@ -157,6 +157,41 @@ def test_nms_class_ids_matches_mask():
                                np.asarray(b["boxes"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a["scores"]),
                                np.asarray(b["scores"]), atol=1e-6)
+
+
+@pytest.mark.parametrize("class_ids", [None, (7, 8)])
+def test_nms_from_raw_matches_eager_decode(class_ids):
+    """Lazy-decode NMS (nms_from_raw on raw Detect logits) == eager
+    Detect-decode + nms_batched, on a real built model — the pipeline's
+    default path vs the reference-shaped one."""
+    model = build_yolo(yolov5_spec(nc=11, depth=0.33, width=0.25),
+                       strides=(8, 16, 32))
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(2, 96, 128, 3).astype(np.float32))
+    kw = dict(conf_thres=0.1, iou_thres=0.45, max_det=32, pre_topk=64,
+              multi_label=True, agnostic=True, class_ids=class_ids)
+
+    @jax.jit
+    def eager(x):
+        pred, _ = model.apply(params, x)
+        return nms_batched(pred, **kw)
+
+    @jax.jit
+    def lazy(x):
+        raws = model.apply(params, x, decode=False)
+        return nms_from_raw(raws, model.strides, model.anchors, **kw)
+
+    a, b = eager(x), lazy(x)
+    np.testing.assert_array_equal(np.asarray(a["count"]),
+                                  np.asarray(b["count"]))
+    np.testing.assert_array_equal(np.asarray(a["classes"]),
+                                  np.asarray(b["classes"]))
+    np.testing.assert_allclose(np.asarray(a["boxes"]),
+                               np.asarray(b["boxes"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a["scores"]),
+                               np.asarray(b["scores"]), atol=1e-6)
+    assert int(a["count"].sum()) > 0  # the comparison saw real detections
 
 
 @requires_ref
