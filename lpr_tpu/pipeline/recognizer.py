@@ -61,6 +61,11 @@ class PipelineConfig:
     iou: float = 0.3                         # run.py:112
     max_plates: int = 3                      # run.py:180
     max_chars: int = 16
+    # Char-NMS candidate pool.  Busy clean canvases (two-row, 9 chars)
+    # produce <=46 multi-label candidates above conf 0.25 (measured on
+    # char.pt), so 64 keeps full recall while halving the (K, K) IoU and
+    # the blocked-greedy depth vs the previous 128.
+    char_pre_topk: int = 64
     long_aspect: float = 1.5                 # run.py:22
     deskew: bool = True
     dtype: Any = jnp.bfloat16
@@ -362,7 +367,7 @@ class PlateRecognizer:
             cout = self.char_model.apply(params["char"],
                                          ocr_in.astype(cfg.dtype),
                                          decode=decode)  # sr canvas is f32
-            cnms_kw = dict(max_det=cfg.max_chars, pre_topk=128,
+            cnms_kw = dict(max_det=cfg.max_chars, pre_topk=cfg.char_pre_topk,
                            multi_label=True, agnostic=True)
             if cfg.lazy_decode:
                 cdet = nms_from_raw(cout, self.char_model.strides,
