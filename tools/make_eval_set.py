@@ -36,18 +36,41 @@ FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf"
 
 
 def render_tight_plate(text: str, rng: np.random.RandomState,
-                       h: int = 64, w: int = 384) -> np.ndarray:
+                       h: int = 64, w: int = 384, font_path: str = FONT,
+                       margin: float = 0.0,
+                       style: str = "font") -> np.ndarray:
     """Tight one-row crop in VN plate layout: NNA-NNN.NN squeezed to fill
-    the full width (like the real fixtures: 390x43 edge-to-edge text)."""
+    the full width (like the real fixtures: 390x43 edge-to-edge text).
+
+    ``margin`` adds plate-rim background around the text before the final
+    resize (fraction of the tight width per side) — real detector crops
+    carry the plate border, so characters never touch the crop edge.
+    The default (0.0) reproduces the committed protocol sets byte-exactly.
+    """
     from PIL import Image, ImageDraw, ImageFont
 
     txt = text[:3] + "-" + text[3:6] + "." + text[6:]
-    font = ImageFont.truetype(FONT, int(h * 0.82))
+    bg = tuple(rng.randint(195, 230, 3))
+    fg = tuple(rng.randint(25, 65, 3))
+    if style == "plate":
+        # Vietnamese plates use a DIN-like face whose "1" is a plain
+        # vertical bar (see tests/fixtures/real_plates); DejaVu's serifed
+        # "1" is the one glyph whose topology diverges enough to flip the
+        # OCR class (1->4/1->A at clean-render resolution).  Drawing the
+        # digit with DejaVu's bar glyph "I" restores the plate topology.
+        txt = txt.replace("1", "I")
+    font = ImageFont.truetype(font_path, int(h * 0.82))
     probe = ImageDraw.Draw(Image.new("RGB", (8, 8)))
     tw = probe.textlength(txt, font=font)
-    tmp = Image.new("RGB", (int(tw) + 8, h), tuple(rng.randint(195, 230, 3)))
+    tmp = Image.new("RGB", (int(tw) + 8, h), bg)
     d = ImageDraw.Draw(tmp)
-    d.text((4, -h * 0.12), txt, fill=tuple(rng.randint(25, 65, 3)), font=font)
+    d.text((4, -h * 0.12), txt, fill=fg, font=font)
+    if margin > 0.0:
+        mx = int(tmp.width * margin)
+        my = int(h * margin)
+        framed = Image.new("RGB", (tmp.width + 2 * mx, h + 2 * my), bg)
+        framed.paste(tmp, (mx, my))
+        tmp = framed
     return np.asarray(tmp.resize((w, h), Image.BILINEAR), np.uint8)
 
 
@@ -74,6 +97,33 @@ def parse_args(argv=None):
                    help="per-crop probability of the GAN route when "
                         "--gan-weights is given (reference: p<=0.4)")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    # Bimodal difficulty mixture.  The reference's real 1050-crop set is
+    # bimodal in difficulty (its published raw/SR pairs are only consistent
+    # with a large mild cohort SR can fully fix plus a severe tail — see
+    # EVAL.md): --mix F draws F of the crops from a "mild" severity regime
+    # and 1-F from the base (severe) regime above.  Cohort fractions and
+    # severities are calibrated against the published RAW pair only
+    # (acc 26.86 / CER 31.10, reference README.md:244-245); SR deltas are
+    # then a prediction, not a fit.
+    p.add_argument("--mix", type=float, default=None,
+                   help="fraction of crops drawn from the mild regime")
+    p.add_argument("--mild-sigma", type=float, nargs=2, default=(0.4, 0.7))
+    p.add_argument("--mild-noise", type=float, nargs=2,
+                   default=(0.004, 0.010))
+    p.add_argument("--mild-scale", type=float, default=0.75)
+    p.add_argument("--mild-wash", type=float, nargs=2, default=(0.80, 0.95))
+    p.add_argument("--cohort", default=None, choices=[None, "mild", "severe"],
+                   help="with --mix: generate only one cohort (calibration "
+                        "probes); default generates both into --out")
+    p.add_argument("--render-margin", type=float, default=0.0,
+                   help="plate-rim margin around the text (fraction per "
+                        "side); 0.0 = committed-protocol tight render")
+    p.add_argument("--render-font", default=FONT)
+    p.add_argument("--render-style", default="font",
+                   choices=["font", "plate"],
+                   help="plate = DejaVu with the '1' drawn as the bar "
+                        "glyph (real VN plate topology); font = the "
+                        "committed-protocol round-2 render")
     return p.parse_args(argv)
 
 
@@ -98,6 +148,14 @@ def main(argv=None):
         scale=args.scale, lr_hw=(32, 192),
     )
     deg = LPDegradation(cfg, hr_hw=hr_hw)
+    deg_mild = None
+    if args.mix is not None:
+        cfg_mild = DegradationConfig(
+            gaussian_sigma_range=tuple(args.mild_sigma),
+            noise_level_range=tuple(args.mild_noise),
+            scale=args.mild_scale, lr_hw=(32, 192),
+        )
+        deg_mild = LPDegradation(cfg_mild, hr_hw=hr_hw)
 
     kernels = None
     if args.p_estimated > 0 and os.path.isdir(args.kernels):
@@ -133,48 +191,70 @@ def main(argv=None):
             seen.add(t)
             texts.append(t)
 
-    for s in range(0, args.n, args.batch):
-        chunk = texts[s : s + args.batch]
-        hrs = np.stack([
-            render_tight_plate(t, nprng, *hr_hw).astype(np.float32) / 255.0
-            for t in chunk
-        ])
-        hr = jnp.asarray(hrs)
-        key, k1, k2, k3 = jax.random.split(key, 4)
-        if kernels is not None:
-            blurred = est(jax.random.split(k1, hr.shape[0]), hr)
-            gate = (jax.random.uniform(k2, (hr.shape[0], 1, 1, 1))
-                    < args.p_estimated)
-            hr = jnp.where(gate, blurred, hr)
-        lr = np.asarray(deg(k3, hr))
-        # contrast wash toward the faded look of real LR captures
-        b = len(chunk)
-        c = nprng.uniform(*args.wash, (b, 1, 1, 1)).astype(np.float32)
-        m = nprng.uniform(0.55, 0.8, (b, 1, 1, 1)).astype(np.float32)
-        lr = np.clip(lr * c + (1 - c) * m, 0.0, 1.0)
-        if gan_apply is not None:
-            # learned-degradation route (reference create_lr.py:45-90: a
-            # fraction of crops goes through G_AtoB instead of the classical
-            # chain).  G runs at its training domain (the LR crop size);
-            # its output already carries the learned wash, so no extra one.
-            clean_lr = jnp.asarray(np.stack([
-                np.asarray(Image.fromarray(
-                    (im * 255).astype(np.uint8)).resize(
-                        (cfg.lr_hw[1], cfg.lr_hw[0]), Image.BILINEAR),
-                    np.float32) / 255.0
-                for im in hrs
-            ]))
-            gan_lr = np.asarray(gan_apply(gan_params, clean_lr))
-            routes = nprng.rand(b)
-            lr = np.where((routes <= args.p_gan)[:, None, None, None],
-                          gan_lr, lr)
-        for t, img in zip(chunk, lr):
-            Image.fromarray(
-                np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
-            ).save(os.path.join(args.out, f"{t}.png"))
-        print(f"\r{min(s + args.batch, args.n)}/{args.n}", end="",
-              file=sys.stderr)
-    print(file=sys.stderr)
+    def run_cohort(cohort_texts, deg_c, wash_c, nprng_c, key_c):
+        for s in range(0, len(cohort_texts), args.batch):
+            chunk = cohort_texts[s : s + args.batch]
+            hrs = np.stack([
+                render_tight_plate(
+                    t, nprng_c, *hr_hw, font_path=args.render_font,
+                    margin=args.render_margin, style=args.render_style,
+                ).astype(np.float32) / 255.0
+                for t in chunk
+            ])
+            hr = jnp.asarray(hrs)
+            key_c, k1, k2, k3 = jax.random.split(key_c, 4)
+            if kernels is not None:
+                blurred = est(jax.random.split(k1, hr.shape[0]), hr)
+                gate = (jax.random.uniform(k2, (hr.shape[0], 1, 1, 1))
+                        < args.p_estimated)
+                hr = jnp.where(gate, blurred, hr)
+            lr = np.asarray(deg_c(k3, hr))
+            # contrast wash toward the faded look of real LR captures
+            b = len(chunk)
+            c = nprng_c.uniform(*wash_c, (b, 1, 1, 1)).astype(np.float32)
+            m = nprng_c.uniform(0.55, 0.8, (b, 1, 1, 1)).astype(np.float32)
+            lr = np.clip(lr * c + (1 - c) * m, 0.0, 1.0)
+            if gan_apply is not None:
+                # learned-degradation route (reference create_lr.py:45-90: a
+                # fraction of crops goes through G_AtoB instead of the
+                # classical chain).  G runs at its training domain (the LR
+                # crop size); its output already carries the learned wash,
+                # so no extra one.
+                clean_lr = jnp.asarray(np.stack([
+                    np.asarray(Image.fromarray(
+                        (im * 255).astype(np.uint8)).resize(
+                            (cfg.lr_hw[1], cfg.lr_hw[0]), Image.BILINEAR),
+                        np.float32) / 255.0
+                    for im in hrs
+                ]))
+                gan_lr = np.asarray(gan_apply(gan_params, clean_lr))
+                routes = nprng_c.rand(b)
+                lr = np.where((routes <= args.p_gan)[:, None, None, None],
+                              gan_lr, lr)
+            for t, img in zip(chunk, lr):
+                Image.fromarray(
+                    np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                ).save(os.path.join(args.out, f"{t}.png"))
+            print(f"\r{min(s + args.batch, len(cohort_texts))}"
+                  f"/{len(cohort_texts)}", end="", file=sys.stderr)
+        print(file=sys.stderr)
+
+    if args.mix is None:
+        run_cohort(texts, deg, args.wash, nprng, key)
+    else:
+        # Deterministic cohort split; separate RNG streams per cohort so a
+        # single-cohort probe (--cohort) reproduces that cohort's images
+        # exactly.
+        n_mild = int(round(args.mix * args.n))
+        mild_texts, severe_texts = texts[:n_mild], texts[n_mild:]
+        if args.cohort in (None, "mild") and mild_texts:
+            run_cohort(mild_texts, deg_mild, args.mild_wash,
+                       np.random.RandomState(args.seed + 101),
+                       jax.random.PRNGKey(args.seed + 101))
+        if args.cohort in (None, "severe") and severe_texts:
+            run_cohort(severe_texts, deg, args.wash,
+                       np.random.RandomState(args.seed + 202),
+                       jax.random.PRNGKey(args.seed + 202))
     print(f"wrote {args.n} LR crops to {args.out}")
 
 
