@@ -40,6 +40,15 @@ class DegradationConfig:
     scale: float = 0.35
     p_motion: float = 0.7     # reference: random() > 0.3
     p_lighting: float = 0.3   # reference: random() > 0.7
+    # Localized glare blob: a compact specular highlight covering ~one
+    # character (headlight reflection / plate gloss).  Off by default —
+    # p_glare=0.0 preserves the classical reference chain byte-exactly.
+    # Real LR captures fail OCR on 1-2 characters at a time far more often
+    # than uniform blur alone produces; this is the concentrated-damage
+    # mode that closes that gap (see EVAL.md).
+    p_glare: float = 0.0
+    glare_radius_range: Tuple[float, float] = (0.35, 0.60)  # x plate height
+    glare_alpha_range: Tuple[float, float] = (0.55, 0.95)
 
 
 def _line_kernel(key) -> jnp.ndarray:
@@ -182,6 +191,30 @@ def lighting_mask(key, hw: Tuple[int, int],
                                    lambda: spot])
 
 
+def glare_blob(key, img: jnp.ndarray,
+               radius_range: Tuple[float, float],
+               alpha_range: Tuple[float, float]) -> jnp.ndarray:
+    """Screen a compact super-gaussian highlight over ~one character.
+
+    The blob has a flat core with a sharp falloff (exp(-(d^2)^2)) so it
+    saturates the strokes it covers instead of mildly brightening a wide
+    area; center is kept inside the text band so it actually hits glyphs.
+    """
+    h, w = img.shape[:2]
+    ks = jax.random.split(key, 4)
+    x0 = jax.random.uniform(ks[0], (), minval=0.08 * w, maxval=0.92 * w)
+    y0 = jax.random.uniform(ks[1], (), minval=0.25 * h, maxval=0.75 * h)
+    r = jax.random.uniform(ks[2], (), minval=radius_range[0],
+                           maxval=radius_range[1]) * h
+    alpha = jax.random.uniform(ks[3], (), minval=alpha_range[0],
+                               maxval=alpha_range[1])
+    ii, jj = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    d2 = ((ii - y0) ** 2 + (jj - x0) ** 2) / (r * r)
+    blob = alpha * jnp.exp(-(d2 * d2))
+    return jnp.clip(img + blob[..., None] * (1.0 - img), 0.0, 1.0)
+
+
 class LPDegradation:
     """Batched stochastic degradation: HR [0,1] RGB -> LR (lr_hw)."""
 
@@ -202,6 +235,14 @@ class LPDegradation:
             mask = lighting_mask(ks[2], img.shape[:2], cfg_.brightness_weight_range)
             lit = im.hsv_value_scale(img, mask)
             img = jnp.where(jax.random.uniform(ks[3]) < cfg_.p_lighting, lit, img)
+            # localized glare (scene-side: before optics blur / downscale)
+            if cfg_.p_glare > 0.0:
+                gk = jax.random.fold_in(key, 7)
+                glared = glare_blob(jax.random.fold_in(gk, 1), img,
+                                    cfg_.glare_radius_range,
+                                    cfg_.glare_alpha_range)
+                img = jnp.where(jax.random.uniform(gk) < cfg_.p_glare,
+                                glared, img)
             # gaussian blur
             sigma = jax.random.uniform(
                 ks[4], (), minval=cfg_.gaussian_sigma_range[0],

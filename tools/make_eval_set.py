@@ -86,6 +86,13 @@ def parse_args(argv=None):
                    help="downscale factor before re-upscale (smaller = harder)")
     p.add_argument("--wash", type=float, nargs=2, default=(0.6, 0.85),
                    help="contrast retention range (1.0 = no wash)")
+    p.add_argument("--glare-p", type=float, default=0.0,
+                   help="per-crop probability of a localized glare blob "
+                        "(~one character; concentrated-damage mode)")
+    p.add_argument("--glare-radius", type=float, nargs=2,
+                   default=(0.35, 0.60))
+    p.add_argument("--glare-alpha", type=float, nargs=2,
+                   default=(0.55, 0.95))
     p.add_argument("--p-estimated", type=float, default=0.3,
                    help="probability of an estimated real-blur kernel pass")
     p.add_argument("--kernels", default="/root/reference/estimated-kn")
@@ -146,6 +153,9 @@ def main(argv=None):
         gaussian_sigma_range=tuple(args.sigma),
         noise_level_range=tuple(args.noise),
         scale=args.scale, lr_hw=(32, 192),
+        p_glare=args.glare_p,
+        glare_radius_range=tuple(args.glare_radius),
+        glare_alpha_range=tuple(args.glare_alpha),
     )
     deg = LPDegradation(cfg, hr_hw=hr_hw)
     deg_mild = None

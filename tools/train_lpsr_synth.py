@@ -55,6 +55,11 @@ def parse_args(argv=None):
     p.add_argument("--init", default=None,
                    help="optional warm-start checkpoint (.pth/.npz); "
                         "default trains from scratch")
+    p.add_argument("--deg", default="",
+                   help="extra tools/make_eval_set.py arguments selecting "
+                        "the degradation/render regime to train on, e.g. "
+                        "'--sigma 0.8 1.2 --glare-p 0.3 --render-style "
+                        "plate' (default: the eval builder's defaults)")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     return p.parse_args(argv)
 
@@ -100,14 +105,18 @@ def main(argv=None):
     from lpr_tpu.train.lpsr import LPSRTrainConfig, LPSRTrainer
     from lpr_tpu.weights.checkpoint import save_params
 
-    # --- the eval set's exact degradation configuration (its CLI defaults) --
-    ecfg = eval_args(["--out", "/dev/null"])
+    # --- the eval set's exact degradation configuration (its CLI defaults,
+    # overridable via --deg with the same flags the eval builder takes) ----
+    ecfg = eval_args(["--out", "/dev/null"] + args.deg.split())
     hr_hw = (64, 384)
     deg = LPDegradation(
         DegradationConfig(
             gaussian_sigma_range=tuple(ecfg.sigma),
             noise_level_range=tuple(ecfg.noise),
             scale=ecfg.scale, lr_hw=(32, 192),
+            p_glare=ecfg.glare_p,
+            glare_radius_range=tuple(ecfg.glare_radius),
+            glare_alpha_range=tuple(ecfg.glare_alpha),
         ),
         hr_hw=hr_hw,
     )
@@ -143,7 +152,9 @@ def main(argv=None):
 
     # --- paired pool: HR renders + grayscale targets (uint8, cached) -------
     n_total = args.pool + args.val
-    cache = f"/tmp/lpsr_pool_{args.seed}_{n_total}.npz"
+    cache = (f"/tmp/lpsr_pool_{args.seed}_{n_total}"
+             + (f"_{ecfg.render_style}" if ecfg.render_style != "font"
+                else "") + ".npz")
     if os.path.exists(cache):
         z = np.load(cache)
         hrs, tgts = z["hrs"], z["tgts"]
@@ -156,7 +167,8 @@ def main(argv=None):
         hrs = np.empty((n_total, *hr_hw, 3), np.uint8)
         tgts = np.empty((n_total, 32, 192, 1), np.uint8)
         for i, t in enumerate(texts):
-            hr8 = render_tight_plate(t, nprng, *hr_hw)
+            hr8 = render_tight_plate(t, nprng, *hr_hw,
+                                     style=ecfg.render_style)
             hrs[i] = hr8
             # reference HR target: grayscale at LR size
             # (dataset/lpsr_dataset.py:26)
