@@ -1387,5 +1387,31 @@ def load_yolo_torch(path, fuse: bool = True):
 
 
 def load_char_ocr(path: str, fuse: bool = True):
-    """Build + load the char OCR model from the shipped char.pt."""
+    """Build + load the char OCR model from the shipped char.pt, or from a
+    native ``.npz`` checkpoint produced by ``tools/train_char_ocr.py``
+    (self-trained replacement for the reference weights)."""
+    if str(path).endswith(".npz"):
+        return load_char_ocr_npz(path)
     return load_yolo_torch(path, fuse=fuse)
+
+
+def load_char_ocr_npz(path: str):
+    """Load a self-trained char OCR checkpoint (char.pt architecture,
+    ``char_ocr_spec``): flat params npz with the AutoAnchor-derived anchors
+    stored under the ``__anchors__`` side key (grid units).
+
+    Returns ``(model, params, ck)`` like :func:`load_yolo_torch`, with
+    ``ck.names`` = the 36 OCR classes."""
+    import types
+
+    from lpr_tpu.weights.checkpoint import load_params
+
+    data = np.load(path)
+    anchors = (np.asarray(data["__anchors__"], np.float32)
+               if "__anchors__" in data else None)
+    model = build_yolo(char_ocr_spec(), ckpt_anchors=anchors, strides=(8,))
+    params = model.init(jax.random.PRNGKey(0))
+    params = load_params(path, params)
+    from lpr_tpu.pipeline.chars import OCR_CLASSES
+    ck = types.SimpleNamespace(names=list(OCR_CLASSES), yaml={}, path=path)
+    return model, params, ck

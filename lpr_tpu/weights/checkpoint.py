@@ -26,8 +26,11 @@ def _flatten(tree: Any):
     return out
 
 
-def save_params(path: str, params: Any) -> None:
-    np.savez_compressed(path, **_flatten(params))
+def save_params(path: str, params: Any, **extras: Any) -> None:
+    """Save a params pytree; ``extras`` adds side-channel arrays (keys that
+    cannot collide with flattened param paths, e.g. ``__anchors__``) which
+    :func:`load_params` ignores."""
+    np.savez_compressed(path, **_flatten(params), **extras)
 
 
 def load_params(path: str, like: Any) -> Any:
