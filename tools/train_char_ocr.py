@@ -111,32 +111,58 @@ def band_labels_on_canvas(boxes) -> np.ndarray:
     return np.asarray(labels, np.float32)
 
 
-def render_tworow_with_boxes(text: str, rng: random.Random):
-    """Two-row square plate (the live pipeline's restacked/square crops)."""
+MONO_FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf"
+
+
+def render_plate_with_boxes(text: str, rng: random.Random, two_row: bool,
+                            font_path: str, bordered: bool):
+    """Bordered/plain plate render in either the protocol face or the
+    street-frame mono face (``synth_plates.render_plate`` domain — what the
+    live pipeline's detector crops actually contain)."""
     bg = tuple(rng.randint(195, 230) for _ in range(3))
     fg = tuple(rng.randint(25, 65) for _ in range(3))
-    h0 = 128
-    font = ImageFont.truetype(FONT, int(h0 * 0.40))
-    rows = [text[:3], text[3:]]
-    probe = ImageDraw.Draw(Image.new("RGB", (8, 8)))
-    w0 = int(max(probe.textlength(r.replace("1", "I"), font=font)
-                 for r in rows)) + 16
-    img = Image.new("RGB", (w0, h0), bg)
-    d = ImageDraw.Draw(img)
-    boxes = []
-    for r, row in enumerate(rows):
-        tw = font.getlength(row.replace("1", "I"))
-        boxes += _draw_row(d, font, row, (w0 - tw) / 2, h0 * (0.04 + 0.48 * r),
-                           fg)
+    if two_row:
+        h0 = 128
+        font = ImageFont.truetype(font_path, int(h0 * rng.uniform(0.34,
+                                                                  0.42)))
+        rows = [text[:3], text[3:]]
+        probe = ImageDraw.Draw(Image.new("RGB", (8, 8)))
+        w0 = int(max(probe.textlength(r.replace("1", "I"), font=font)
+                     for r in rows)) + 16
+        img = Image.new("RGB", (w0, h0), bg)
+        d = ImageDraw.Draw(img)
+        boxes = []
+        for r, row in enumerate(rows):
+            tw = font.getlength(row.replace("1", "I"))
+            boxes += _draw_row(d, font, row, (w0 - tw) / 2,
+                               h0 * (0.04 + 0.48 * r), fg)
+    else:
+        h0 = 64
+        font = ImageFont.truetype(font_path, int(h0 * rng.uniform(0.58,
+                                                                  0.72)))
+        probe = ImageDraw.Draw(Image.new("RGB", (8, 8)))
+        tw = probe.textlength(text.replace("1", "I"), font=font)
+        w0 = int(tw) + rng.randint(10, 40)
+        img = Image.new("RGB", (w0, h0), bg)
+        d = ImageDraw.Draw(img)
+        boxes = _draw_row(d, font, text, (w0 - tw) / 2, h0 * 0.1, fg)
+    if bordered:
+        ImageDraw.Draw(img).rectangle([1, 1, img.width - 2, img.height - 2],
+                                      outline=(60, 60, 70), width=2)
     return np.asarray(img, np.uint8), boxes
 
 
 def tworow_sample(rng: random.Random):
-    """Host-composed + host-degraded two-row canvas and labels."""
+    """Host-composed + host-degraded pipeline-domain canvas and labels:
+    bordered/plain plates, one- or two-row, protocol or mono face."""
     from synth_plates import random_plate_text
 
-    text = random_plate_text(rng, two_row=True)
-    img, boxes = render_tworow_with_boxes(text, rng)
+    two = rng.random() < 0.5
+    text = random_plate_text(rng, two_row=two)
+    img, boxes = render_plate_with_boxes(
+        text, rng, two,
+        MONO_FONT if rng.random() < 0.5 else FONT,
+        bordered=rng.random() < 0.7)
     h0, w0 = img.shape[:2]
     s = min(IMGSZ / w0, IMGSZ / h0) * rng.uniform(0.72, 1.0)
     nw, nh = max(int(w0 * s), 8), max(int(h0 * s), 8)
@@ -198,7 +224,9 @@ def main(argv=None):
     ap.add_argument("--pool", type=int, default=8192)
     ap.add_argument("--p-sr", type=float, default=0.5,
                     help="fraction of band samples shown as LPSR output")
-    ap.add_argument("--p-tworow", type=float, default=0.2)
+    ap.add_argument("--p-tworow", type=float, default=0.3,
+                    help="fraction of the batch drawn from the host "
+                    "pipeline-domain pool (bordered plates, both fonts)")
     ap.add_argument("--out", default="checkpoints/char_ocr_synth.npz")
     ap.add_argument("--init", default=None,
                     help="warm-start params from a prior .npz")
