@@ -43,6 +43,11 @@ def parse_args(argv=None):
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--panel", action="store_true",
                    help="also write per-frame detail panels")
+    p.add_argument("--step", action="store_true",
+                   help="interactive stepping: pause after each annotated "
+                        "frame and wait for Enter on stdin ('q' quits) — "
+                        "the headless counterpart of the reference's "
+                        "per-frame keypress loop (inference/run.py:273-277)")
     return p.parse_args(argv)
 
 
@@ -104,6 +109,21 @@ def build_recognizer(args):
                            lpsr_params, lpsr_cfg, cfg, char_names=ck.names)
 
 
+def _step_pause(idx: int) -> bool:
+    """Block until the user presses Enter; return False to stop the run.
+
+    Mirrors the reference's frame-by-frame keypress stepping
+    (``inference/run.py:273-277``: ``cv2.waitKey(0)``, 'q' breaks) for a
+    headless environment: the pause reads a line from stdin instead of a
+    cv2 window event.  EOF also stops, so piped input terminates cleanly.
+    """
+    try:
+        line = input(f"[frame {idx}] Enter=next, q=quit> ")
+    except EOFError:
+        return False
+    return not line.strip().lower().startswith("q")
+
+
 def main(argv=None):
     args = parse_args(argv)
     from lpr_tpu.pipeline.annotate import annotate_frame, side_panel
@@ -114,11 +134,12 @@ def main(argv=None):
 
     batch: List[np.ndarray] = []
     idx = 0
+    stopped = False
     t_last = time.perf_counter()
     fps = 0.0
 
     def flush(frames: List[np.ndarray]):
-        nonlocal idx, fps, t_last
+        nonlocal idx, fps, t_last, stopped
         n = len(frames)
         padded = frames + [frames[-1]] * (args.batch - n)
         results = rec.recognize(np.stack(padded))[:n]
@@ -138,6 +159,9 @@ def main(argv=None):
                 print(f"frame {idx}: {p['text']!r} / SR {p['text_sr']!r} "
                       f"conf {p['score']:.2f}")
             idx += 1
+            if args.step and not _step_pause(idx - 1):
+                stopped = True
+                return
 
     for frame in frame_source(args.source):
         batch.append(frame)
@@ -146,9 +170,9 @@ def main(argv=None):
         assert len({b.shape for b in batch}) == 1, "mixed frame sizes"
         flush(batch)
         batch.clear()
-        if args.max_frames and idx >= args.max_frames:
+        if stopped or (args.max_frames and idx >= args.max_frames):
             break
-    if batch and not (args.max_frames and idx >= args.max_frames):
+    if batch and not stopped and not (args.max_frames and idx >= args.max_frames):
         flush(batch)  # trailing partial batch (padded to compiled shape)
     print(f"done: {idx} frames -> {args.out} (last fps {fps:.1f})")
 

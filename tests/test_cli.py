@@ -143,3 +143,26 @@ def test_cli_export_ocr_stablehlo(tmp_path):
     fn = load_fn(out)
     y = fn(jnp.zeros((1, 64, 64, 3), jnp.float32))
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_cli_run_step_pause(monkeypatch):
+    """--step interactive stepping (reference inference/run.py:273-277):
+    Enter advances, 'q' and EOF stop."""
+    import builtins
+
+    from lpr_tpu.cli import run as run_cli
+
+    answers = iter(["", "  ", "Q quit now"])
+    monkeypatch.setattr(builtins, "input", lambda prompt="": next(answers))
+    assert run_cli._step_pause(0) is True
+    assert run_cli._step_pause(1) is True
+    assert run_cli._step_pause(2) is False
+
+    def eof(prompt=""):
+        raise EOFError
+
+    monkeypatch.setattr(builtins, "input", eof)
+    assert run_cli._step_pause(3) is False
+    assert run_cli.parse_args(
+        ["--source", "x", "--r-weights", "r", "--sr-weights", "s", "--step"]
+    ).step is True
