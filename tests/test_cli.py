@@ -166,3 +166,35 @@ def test_cli_run_step_pause(monkeypatch):
     assert run_cli.parse_args(
         ["--source", "x", "--r-weights", "r", "--sr-weights", "s", "--step"]
     ).step is True
+
+
+def test_cli_run_step_early_stop(tmp_path, monkeypatch):
+    """'q' at the first pause stops main() after one frame: later batches
+    are neither recognized nor written (reference breaks its frame loop on
+    the same key, inference/run.py:273-277)."""
+    import builtins
+
+    from lpr_tpu.cli import run as run_cli
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        Image.fromarray(
+            np.zeros((32, 48, 3), np.uint8) + 40 * i
+        ).save(src / f"f{i}.png")
+
+    calls = []
+
+    class StubRec:
+        def recognize(self, batch):
+            calls.append(len(batch))
+            return [[] for _ in batch]
+
+    monkeypatch.setattr(run_cli, "build_recognizer", lambda a: StubRec())
+    monkeypatch.setattr(builtins, "input", lambda prompt="": "q")
+    out = str(tmp_path / "out")
+    run_cli.main(["--source", str(src), "--r-weights", "r",
+                  "--sr-weights", "s", "--out", out, "--batch", "2",
+                  "--step"])
+    assert calls == [2]  # second batch never recognized
+    assert sorted(os.listdir(out)) == ["frame_000000.jpg"]
