@@ -1214,6 +1214,58 @@ def yolov5_spec(nc: int = 80, depth: float = 0.33, width: float = 0.5,
     return YoloSpec(nc, depth, width, anchors, backbone, head)
 
 
+def yolov5_p6_spec(nc: int = 80, depth: float = 0.33, width: float = 0.5,
+                   anchors=None) -> YoloSpec:
+    """4-scale P6/64 hub variant (reference models/hub/yolov5s6.yaml):
+    backbone grows a 768-ch P5 stage before the 1024-ch P6 + SPPF, the PAN
+    runs three up / three down steps, Detect reads P3/P4/P5/P6 (strides
+    8/16/32/64; use with a 64-multiple input size)."""
+    if anchors is None:
+        anchors = [[19, 27, 44, 40, 38, 94],
+                   [96, 68, 86, 152, 180, 137],
+                   [140, 301, 303, 264, 238, 542],
+                   [436, 615, 739, 380, 925, 792]]
+    backbone = (
+        (-1, 1, "Conv", [64, 6, 2, 2]),
+        (-1, 1, "Conv", [128, 3, 2]),
+        (-1, 3, "C3", [128]),
+        (-1, 1, "Conv", [256, 3, 2]),
+        (-1, 6, "C3", [256]),
+        (-1, 1, "Conv", [512, 3, 2]),
+        (-1, 9, "C3", [512]),
+        (-1, 1, "Conv", [768, 3, 2]),
+        (-1, 3, "C3", [768]),
+        (-1, 1, "Conv", [1024, 3, 2]),
+        (-1, 3, "C3", [1024]),
+        (-1, 1, "SPPF", [1024, 5]),
+    )
+    head = (
+        (-1, 1, "Conv", [768, 1, 1]),
+        (-1, 1, "nn.Upsample", [None, 2, "nearest"]),
+        ([-1, 8], 1, "Concat", [1]),
+        (-1, 3, "C3", [768, False]),
+        (-1, 1, "Conv", [512, 1, 1]),
+        (-1, 1, "nn.Upsample", [None, 2, "nearest"]),
+        ([-1, 6], 1, "Concat", [1]),
+        (-1, 3, "C3", [512, False]),
+        (-1, 1, "Conv", [256, 1, 1]),
+        (-1, 1, "nn.Upsample", [None, 2, "nearest"]),
+        ([-1, 4], 1, "Concat", [1]),
+        (-1, 3, "C3", [256, False]),
+        (-1, 1, "Conv", [256, 3, 2]),
+        ([-1, 20], 1, "Concat", [1]),
+        (-1, 3, "C3", [512, False]),
+        (-1, 1, "Conv", [512, 3, 2]),
+        ([-1, 16], 1, "Concat", [1]),
+        (-1, 3, "C3", [768, False]),
+        (-1, 1, "Conv", [768, 3, 2]),
+        ([-1, 12], 1, "Concat", [1]),
+        (-1, 3, "C3", [1024, False]),
+        ([23, 26, 29, 32], 1, "Detect", ["nc", "anchors"]),
+    )
+    return YoloSpec(nc, depth, width, anchors, backbone, head)
+
+
 def plate_detector() -> YoloModel:
     """The production plate detector: yolov5s-scale, nc=11, 3 scales —
     structural parity with onnx_models/detection/config.pbtxt (1280^2 ->
@@ -1257,10 +1309,15 @@ _SIZE_PRESETS = {
 }
 
 
-def yolov5(size: str = "s", nc: int = 80, strides=(8, 16, 32)) -> YoloModel:
-    """Named model zoo: yolov5{n,s,m,l,x} (reference models/*.yaml)."""
-    depth, width = _SIZE_PRESETS[size]
-    return build_yolo(yolov5_spec(nc=nc, depth=depth, width=width),
+def yolov5(size: str = "s", nc: int = 80, strides=None) -> YoloModel:
+    """Named model zoo: yolov5{n,s,m,l,x} and the P6 hub variants
+    yolov5{n,s,m,l,x}6 (reference models/*.yaml + models/hub/*6.yaml)."""
+    p6 = size.endswith("6")
+    depth, width = _SIZE_PRESETS[size.rstrip("6")]
+    if strides is None:
+        strides = (8, 16, 32, 64) if p6 else (8, 16, 32)
+    spec_fn = yolov5_p6_spec if p6 else yolov5_spec
+    return build_yolo(spec_fn(nc=nc, depth=depth, width=width),
                       strides=strides)
 
 

@@ -450,3 +450,19 @@ def test_blocked_nms_nondivisible_k():
         if validn[i] and not suppressed[i]:
             suppressed |= (ioun[i] > 0.3) & (np.arange(k) > i)
     np.testing.assert_array_equal(got, validn & ~suppressed)
+
+
+def test_yolov5_p6_hub_variant():
+    """4-scale P6 hub preset (reference models/hub/yolov5s6.yaml): strides
+    8/16/32/64, 3 anchors/scale, decoded count = 3*(16^2+8^2+4^2+2^2) at
+    128^2, per-scale raw grids correct, decode finite."""
+    from lpr_tpu.models.yolo import yolov5
+
+    m = yolov5("n6", nc=4)
+    assert m.strides == (8, 16, 32, 64)
+    p = m.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 128, 128, 3))
+    pred, raws = jax.jit(lambda p, x: m.apply(p, x))(p, x)
+    assert pred.shape == (1, 3 * (16**2 + 8**2 + 4**2 + 2**2), 9)
+    assert [r.shape[2] for r in raws] == [16, 8, 4, 2]
+    assert np.isfinite(np.asarray(pred)).all()
