@@ -162,6 +162,9 @@ def main(argv=None):
             if args.step and not _step_pause(idx - 1):
                 stopped = True
                 return
+        if args.step:
+            # don't charge the human pause time to the next flush's fps
+            t_last = time.perf_counter()
 
     for frame in frame_source(args.source):
         batch.append(frame)

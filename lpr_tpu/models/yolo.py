@@ -1313,7 +1313,12 @@ def yolov5(size: str = "s", nc: int = 80, strides=None) -> YoloModel:
     """Named model zoo: yolov5{n,s,m,l,x} and the P6 hub variants
     yolov5{n,s,m,l,x}6 (reference models/*.yaml + models/hub/*6.yaml)."""
     p6 = size.endswith("6")
-    depth, width = _SIZE_PRESETS[size.rstrip("6")]
+    base = size[:-1] if p6 else size
+    if base not in _SIZE_PRESETS:
+        raise ValueError(
+            f"unknown yolov5 size {size!r}: expected one of "
+            f"{sorted(_SIZE_PRESETS)} or their P6 variants ('n6'..'x6')")
+    depth, width = _SIZE_PRESETS[base]
     if strides is None:
         strides = (8, 16, 32, 64) if p6 else (8, 16, 32)
     spec_fn = yolov5_p6_spec if p6 else yolov5_spec
