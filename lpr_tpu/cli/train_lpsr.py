@@ -20,12 +20,18 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-dir", default="checkpoints/lpsr")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--data-parallel", action="store_true",
-                   help="shard batches over all local devices")
+                   help="shard batches over all local devices; multi-process "
+                        "(multi-host) when COORDINATOR_ADDRESS/WORLD_SIZE/"
+                        "RANK are set — the reference's DDP env contract "
+                        "(yolov5/train.py:60-62)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from lpr_tpu.parallel.multiproc import initialize_from_env, is_main_process
+
+    dist = initialize_from_env()
     import jax
 
     from lpr_tpu.data.datasets import PairedImageDataset
@@ -36,9 +42,30 @@ def main(argv=None):
     hw = (args.height, args.width)
     train_ds = PairedImageDataset(args.hr_train_dir, args.lr_train_dir, hw)
     val_ds = PairedImageDataset(args.hr_val_dir, args.lr_val_dir, hw)
-    print(f"train {len(train_ds)} pairs, val {len(val_ds)} pairs")
 
-    mesh = make_mesh() if args.data_parallel else None
+    batch_size = args.batch_size
+    if dist:
+        # --batch-size is the GLOBAL batch (the reference divides its total
+        # batch by WORLD_SIZE the same way, yolov5/train.py:135).  Each rank
+        # takes a strided subset of the pairs, truncated so every rank sees
+        # the same number of steps (the collective train step would deadlock
+        # otherwise).
+        w, r = jax.process_count(), jax.process_index()
+        if args.batch_size % w:
+            raise SystemExit(f"--batch-size {args.batch_size} not divisible "
+                             f"by WORLD_SIZE {w}")
+        batch_size = args.batch_size // w
+        for ds in (train_ds, val_ds):
+            n = len(ds.pairs) - (len(ds.pairs) % w)
+            ds.pairs = ds.pairs[:n][r::w]
+        mesh = make_mesh()
+    else:
+        mesh = make_mesh() if args.data_parallel else None
+    main_proc = is_main_process() if dist else True
+    if main_proc:
+        print(f"train {len(train_ds)} pairs/rank, val {len(val_ds)} "
+              f"pairs/rank" + (f" x {jax.process_count()} ranks" if dist else ""))
+
     trainer = LPSRTrainer(LPSRTrainConfig(lr=args.lr), LPSRConfig(), mesh=mesh)
     os.makedirs(args.ckpt_dir, exist_ok=True)
 
@@ -46,15 +73,17 @@ def main(argv=None):
 
     def train_batches():
         epoch_counter[0] += 1
-        return train_ds.batches(args.batch_size, shuffle=True,
+        return train_ds.batches(batch_size, shuffle=True,
                                 seed=epoch_counter[0], drop_last=True)
 
     def val_batches():
-        return val_ds.batches(args.batch_size, shuffle=False, drop_last=True)
+        return val_ds.batches(batch_size, shuffle=False, drop_last=True)
 
     state = trainer.fit(train_batches, val_batches, args.epochs,
-                        ckpt_dir=args.ckpt_dir)
-    print("done; best PSNR", state["best_psnr"])
+                        ckpt_dir=args.ckpt_dir if main_proc else None,
+                        logger=print if main_proc else (lambda *a, **k: None))
+    if main_proc:
+        print("done; best PSNR", state["best_psnr"])
 
 
 if __name__ == "__main__":

@@ -33,7 +33,11 @@ def parse_args(argv=None):
     p.add_argument("--cache", action="store_true",
                    help="decode images into RAM once (reference --cache ram, "
                         "datasets.py:484-507)")
-    p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all local devices; multi-process "
+                        "(multi-host) when COORDINATOR_ADDRESS/WORLD_SIZE/"
+                        "RANK are set — the reference's DDP env contract "
+                        "(yolov5/train.py:60-62)")
     p.add_argument("--autoanchor", action="store_true",
                    help="evolve anchors from the train labels first")
     return p.parse_args(argv)
@@ -41,6 +45,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from lpr_tpu.parallel.multiproc import initialize_from_env, is_main_process
+
+    dist = initialize_from_env()
     import numpy as np
 
     from lpr_tpu.data.yolo_data import YoloDataset
@@ -94,8 +101,26 @@ def main(argv=None):
             print("evolved anchors (grid units):", ckpt_anchors.tolist())
 
     model = build_yolo(spec, ckpt_anchors=ckpt_anchors, strides=strides)
-    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
-    mesh = make_mesh() if args.data_parallel else None
+    batch_size = args.batch_size
+    if dist:
+        # --batch-size is the GLOBAL batch; each rank trains a strided,
+        # equal-length subset (the reference's DistributedSampler split) and
+        # validates the full set redundantly (see fit_yolo) so early-stop
+        # decisions stay rank-consistent.
+        import jax
+
+        w, r = jax.process_count(), jax.process_index()
+        if args.batch_size % w:
+            raise SystemExit(f"--batch-size {args.batch_size} not divisible "
+                             f"by WORLD_SIZE {w}")
+        batch_size = args.batch_size // w
+        n = len(train_ds.paths) - (len(train_ds.paths) % w)
+        train_ds.paths = train_ds.paths[:n][r::w]
+        mesh = make_mesh()
+    else:
+        mesh = make_mesh() if args.data_parallel else None
+    main_proc = is_main_process() if dist else True
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
     trainer = YoloTrainer(
         model, YoloTrainConfig(lr0=args.lr0, epochs=args.epochs),
         steps_per_epoch=steps_per_epoch, mesh=mesh,
@@ -105,14 +130,15 @@ def main(argv=None):
     step_counter = [0]
 
     def log(msg):
-        print(msg)
+        if main_proc:
+            print(msg)
 
     fit_yolo(
         trainer,
-        lambda: train_ds.batches(args.batch_size, workers=args.workers),
-        lambda: val_ds.batches(args.batch_size, shuffle=False,
+        lambda: train_ds.batches(batch_size, workers=args.workers),
+        lambda: val_ds.batches(batch_size, shuffle=False,
                                workers=args.workers),
-        epochs=args.epochs, ckpt_dir=args.ckpt_dir,
+        epochs=args.epochs, ckpt_dir=args.ckpt_dir if main_proc else None,
         patience=args.patience, logger=log,
     )
 

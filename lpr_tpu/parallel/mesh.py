@@ -41,12 +41,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(tree: Any, mesh: Mesh) -> Any:
-    """Device-put a host batch with the leading axis sharded over the mesh."""
+    """Device-put a host batch with the leading axis sharded over the mesh.
+
+    Single-process: the host array is the GLOBAL batch.  Multi-process
+    (``jax.process_count() > 1``, i.e. after ``jax.distributed.initialize``):
+    the host array is this process's LOCAL shard of the global batch — the
+    same contract as the reference's DDP DistributedSampler feeding each rank
+    its slice (``yolov5/utils/datasets.py:InfiniteDataLoader`` + sampler).
+    """
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            tree)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate host values over every mesh device.  Works across processes
+    (each process must pass the same value, as with DDP's identical module
+    init on every rank)."""
     s = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 

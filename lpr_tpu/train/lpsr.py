@@ -113,11 +113,21 @@ class LPSRTrainer:
         return state, loss
 
     def validate(self, state: Dict, batches: Iterable) -> float:
+        """Mean per-image PSNR.  Multi-process: every rank feeds its local
+        shard of each global batch; the per-image PSNRs are allgathered so
+        all ranks return the identical global mean (keeps the plateau-LR
+        decision consistent across ranks without a broadcast)."""
+        multiproc = self.mesh is not None and jax.process_count() > 1
         vals = []
         for lr_img, hr_img in batches:
             if self.mesh is not None:
                 lr_img, hr_img = shard_batch((lr_img, hr_img), self.mesh)
-            vals.append(np.asarray(self._eval_step(state["params"], lr_img, hr_img)))
+            v = self._eval_step(state["params"], lr_img, hr_img)
+            if multiproc:
+                from jax.experimental import multihost_utils
+
+                v = multihost_utils.process_allgather(v, tiled=True)
+            vals.append(np.asarray(v))
         return float(np.mean(np.concatenate(vals))) if vals else float("nan")
 
     def plateau_update(self, state: Dict, val_psnr: float) -> Dict:

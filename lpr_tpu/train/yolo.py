@@ -305,7 +305,14 @@ def fit_yolo(
             loss = float(total)
             if guard.check(loss):
                 losses.append(loss)
-        metrics = validate_map(trainer.model, state["ema"], val_batches_fn())
+        ema = state["ema"]
+        if trainer.mesh is not None and jax.process_count() > 1:
+            # validate_map's plain jit runs per-process on local devices;
+            # fetch the (replicated) EMA weights off the global mesh first.
+            # Every rank validates the full set redundantly so the early-stop
+            # decision stays identical across ranks without a broadcast.
+            ema = jax.device_get(ema)
+        metrics = validate_map(trainer.model, ema, val_batches_fn())
         fit = fitness(metrics)
         logger(
             f"epoch {epoch}: loss {np.mean(losses) if losses else np.nan:.4f} "
