@@ -62,6 +62,53 @@ def test_protocol_subsample_floors(tmp_path):
 
 GLARE_LPSR = os.path.join(REPO, "checkpoints", "lpsr_synth_glare",
                           "best_model.npz")
+UNIFIED_LPSR = os.path.join(REPO, "checkpoints", "lpsr_unified",
+                            "best_model.npz")
+
+
+@pytest.mark.slow
+def test_unified_checkpoint_floors_both_regimes(tmp_path):
+    """Guard the round-4 de-circularized headline: ONE mixed-regime
+    checkpoint (``tools/train_lpsr_unified.py``, no per-set fine-tuning)
+    holds near-specialist deltas on BOTH protocol regimes' first-64
+    subsamples (measured: uniform +17.19 acc / −18.97 CER, r3c bimodal/glare
+    +25.00 / −23.21; floors ~½σ below).  EVAL_r4/ carries the full n=1050
+    matrix: unified exceeds the published +19.71/−18.29 on the
+    difficulty-matched r3c set (+21.90/−22.12)."""
+    if not (os.path.exists(UNIFIED_LPSR) and os.path.exists(CHAR_PT)):
+        pytest.skip("unified LPSR / reference char weights missing")
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_eval_set
+
+    from lpr_tpu.eval.harness import OcrEvaluator
+    from lpr_tpu.models.lpsr import LPSRConfig, load_lpsr
+    from lpr_tpu.models.yolo import load_char_ocr
+
+    uni = str(tmp_path / "eval64_uni")
+    r3c = str(tmp_path / "eval64_r3c")
+    make_eval_set.main(["--out", uni, "--n", "64"])
+    make_eval_set.main([
+        "--out", r3c, "--n", "64",
+        "--sigma", "0.8", "1.2", "--noise", "0.010", "0.020",
+        "--scale", "0.55", "--wash", "0.60", "0.85",
+        "--glare-p", "0.3", "--render-style", "plate"])
+
+    char, char_params, ck = load_char_ocr(CHAR_PT)
+    lcfg = LPSRConfig()
+    lpsr_params = load_lpsr(UNIFIED_LPSR, lcfg)
+    ev = OcrEvaluator(char, char_params, lpsr_params, lcfg, names=ck.names)
+
+    rep_u = ev.evaluate_folder(uni, batch_size=64)
+    assert rep_u.acc_sr >= 0.22, rep_u.summary()
+    assert rep_u.cer_sr <= 0.20, rep_u.summary()
+    assert rep_u.acc_sr - rep_u.acc_raw >= 0.12, rep_u.summary()
+    assert rep_u.cer_raw - rep_u.cer_sr >= 0.14, rep_u.summary()
+
+    rep_g = ev.evaluate_folder(r3c, batch_size=64)
+    assert rep_g.acc_sr >= 0.32, rep_g.summary()
+    assert rep_g.cer_sr <= 0.16, rep_g.summary()
+    assert rep_g.acc_sr - rep_g.acc_raw >= 0.18, rep_g.summary()
+    assert rep_g.cer_raw - rep_g.cer_sr >= 0.17, rep_g.summary()
 
 
 @pytest.mark.slow
