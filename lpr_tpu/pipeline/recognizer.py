@@ -432,7 +432,10 @@ class PlateRecognizer:
                     "text_sr": detections_to_string(
                         cs["boxes"][b, p], cs["classes"][b, p],
                         cs["valid"][b, p], **kw),
-                    "sr": out["sr"][b, p],
+                    # "sr" may have been pruned from the fetched tree by a
+                    # serving loop that doesn't return SR crop images
+                    # (ServeConfig.return_sr=False)
+                    "sr": out["sr"][b, p] if "sr" in out else None,
                 })
             results.append(plates)
         return results

@@ -39,6 +39,13 @@ class ServeConfig:
     # releases the GIL inside libjpeg, so threads scale).  The decoded feed
     # overlaps the one-deep device pipeline in _loop.
     decode_workers: int = 8
+    # Return the SR plate-crop images in each result dict.  They are by far
+    # the largest leaves of the step output (~10 MB per 32-frame batch vs
+    # ~100 KB of boxes/scores/text tensors); a text/boxes-only deployment
+    # sets False and the serving loop never copies them off the device —
+    # the Triton analogue of requesting only the needed output tensors
+    # (inference/triton_run.py names its outputs per request).
+    return_sr: bool = True
 
 
 @dataclasses.dataclass
@@ -106,6 +113,8 @@ class InferenceServer:
         self._frame_shape: Optional[tuple] = (
             (*cfg.frame_hw, 3) if cfg.frame_hw is not None else None)
         self._decoder = None  # lazy decode ThreadPoolExecutor
+        self._pool = None     # device-resident frame pool (preload())
+        self._pool_gather = None
 
     # ------------------------------------------------------------------
     def start(self):
@@ -136,6 +145,10 @@ class InferenceServer:
         accepted frame (or ``ServeConfig.frame_hw``) locks the served shape
         and mismatches raise immediately instead of poisoning a batch.
         """
+        if self._pool is not None:
+            raise ValueError(
+                "server is in device-pool (ref) mode after preload(); "
+                "use submit_ref(index)")
         frame = np.asarray(frame)
         if frame.ndim != 3 or frame.shape[-1] != 3:
             raise ValueError(f"expected (H, W, 3) RGB frame, got {frame.shape}")
@@ -279,6 +292,70 @@ class InferenceServer:
 
         return self._chain(Future(), work)
 
+    # -- device-resident frame pool (engine-rate serving) ----------------
+    def preload(self, frames: np.ndarray) -> int:
+        """Stage a frame pool in device HBM once; clients then address
+        frames by index via :meth:`submit_ref`, so the serving loop carries
+        only int32 indices host->device — the production pattern for
+        sources whose frames already live on (or stream straight into) the
+        accelerator: on-device video decode, DMA'd camera feeds, or a
+        pre-staged ring buffer refreshed out-of-band.  The reference's
+        Triton setup has no equivalent (every request re-ships the tensor
+        over HTTP, ``inference/triton_run.py:120-138``).
+
+        After ``preload`` the server is in ref mode: :meth:`submit` raises
+        (one compiled batch program per server; mixed frame/ref batches
+        would double the program count for no production use case).
+        Returns the pool size.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        frames = np.ascontiguousarray(np.asarray(frames, np.uint8))
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise ValueError(f"expected (N, H, W, 3) pool, got {frames.shape}")
+        with self._shape_lock:
+            if self._frame_shape is None:
+                self._frame_shape = frames.shape[1:]
+            elif frames.shape[1:] != self._frame_shape:
+                raise ValueError(
+                    f"pool frame shape {frames.shape[1:]} does not match the "
+                    f"served shape {self._frame_shape}")
+        if getattr(self.rec, "_step_frozen", None) is None:
+            raise ValueError(
+                "preload() requires frozen recognizer params "
+                "(PipelineConfig.freeze_params, the default)")
+        pool = {"frames": jax.device_put(frames)}
+        if getattr(self.rec.cfg, "packed_input", False):
+            from lpr_tpu.ops.pallas.yolo_front import pack_front_frames_host
+
+            det_hw = self.rec.cfg.det_hw
+            packed = np.concatenate([
+                pack_front_frames_host(frames[s : s + 32], det_hw)
+                for s in range(0, len(frames), 32)
+            ])
+            pool["packed"] = jax.device_put(packed)
+        # leading-axis gather is a contiguous-row HBM copy (~0.1 ms for a
+        # 32x720p uint8 batch), dispatched async ahead of the step
+        self._pool_gather = jax.jit(lambda p, idx: jnp.take(p, idx, axis=0))
+        self._pool = pool
+        return frames.shape[0]
+
+    def submit_ref(self, index: int) -> Future:
+        """Pool index -> Future[List[plate dict]].  Requires preload()."""
+        if self._pool is None:
+            raise ValueError("submit_ref requires preload() first")
+        n = int(self._pool["frames"].shape[0])
+        index = int(index)
+        if not 0 <= index < n:
+            raise IndexError(f"pool index {index} out of range [0, {n})")
+        fut: Future = Future()
+        self._q.put((index, fut, time.perf_counter()))
+        return fut
+
+    def infer_ref(self, index: int):
+        return self.submit_ref(index).result()
+
     def submit_many(self, frames: np.ndarray) -> List[Future]:
         """(B, H, W, 3) uint8 -> one future per frame.  Frames enter the same
         dynamic-batching queue, so concurrent clients' frames coalesce into
@@ -316,8 +393,20 @@ class InferenceServer:
         try:
             # batch assembly inside the try: any failure here must
             # resolve the futures, never kill the collector thread
-            frames = [it[0] for it in items]
             pad = self.cfg.max_batch - n
+            if self._pool is not None:
+                # ref mode: only int32 indices cross to the device; the
+                # frame batch is gathered pool->batch inside HBM
+                idxs = [it[0] for it in items]
+                idx = np.asarray(idxs + [idxs[-1]] * pad, np.int32)
+                fr = self._pool_gather(self._pool["frames"], idx)
+                if "packed" in self._pool:
+                    out = self.rec._step_frozen(
+                        fr, self._pool_gather(self._pool["packed"], idx))
+                else:
+                    out = self.rec._step_frozen(fr)
+                return out, items, n, pad
+            frames = [it[0] for it in items]
             batch = np.stack(frames + [frames[-1]] * pad)
             if not (hasattr(self.rec, "step_raw")
                     and hasattr(self.rec, "assemble")):
@@ -348,6 +437,8 @@ class InferenceServer:
 
         out, items, n, pad = pending
         try:
+            if not self.cfg.return_sr and isinstance(out, dict):
+                out = {k: v for k, v in out.items() if k != "sr"}
             results = self.rec.assemble(jax.device_get(out))
         except Exception as e:
             for _, fut, _ in items:

@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_recognizer(det_hw, dtype_name):
+def build_recognizer(det_hw, dtype_name, packed=False):
     import jax
     import jax.numpy as jnp
 
@@ -66,9 +66,18 @@ def build_recognizer(det_hw, dtype_name):
         lpsr_params = lpsr_init(key, lpsr_cfg)
         names = None
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[dtype_name]
-    cfg = PipelineConfig(det_hw=det_hw, dtype=dtype)
-    return PlateRecognizer(plate, plate_params, char, char_params,
-                           lpsr_params, lpsr_cfg, cfg, char_names=names)
+
+    def make(pk):
+        cfg = PipelineConfig(det_hw=det_hw, dtype=dtype, packed_input=pk)
+        return PlateRecognizer(plate, plate_params, char, char_params,
+                               lpsr_params, lpsr_cfg, cfg, char_names=names)
+
+    if packed:
+        try:
+            return make(True)
+        except ValueError:  # fused front unavailable (CPU) -> XLA path
+            pass
+    return make(False)
 
 
 def main():
@@ -89,6 +98,17 @@ def main():
                          "decode pool (lpr_native.cc) does JPEG->letterbox "
                          "on host threads, overlapped with the device "
                          "pipeline")
+    ap.add_argument("--no-sr", action="store_true",
+                    help="text/boxes-only serving: SR crop images are never "
+                         "copied off the device (ServeConfig.return_sr=False)"
+                         " — the dominant result-fetch bytes")
+    ap.add_argument("--pool", action="store_true",
+                    help="engine-rate mode: frames are preloaded into "
+                         "device HBM once (InferenceServer.preload) and "
+                         "clients submit int32 pool indices, taking the "
+                         "host->device frame transfer (and on this dev box, "
+                         "the tunnel) out of the serving loop — measures "
+                         "the dispatch loop at the device pipeline's rate")
     args = ap.parse_args()
 
     os.environ.setdefault(
@@ -108,7 +128,8 @@ def main():
 
     h, w = args.frame_hw
     det_h = int(np.ceil(h * args.det_w / w / 32) * 32)
-    rec = build_recognizer((det_h, args.det_w), args.dtype)
+    rec = build_recognizer((det_h, args.det_w), args.dtype,
+                           packed=args.pool)
 
     # one plate-bearing frame per client (synth), reused back-to-back
     from synth_plates import random_plate_text, render_frame_with_plates
@@ -144,10 +165,20 @@ def main():
 
     cfg = ServeConfig(max_batch=args.max_batch,
                       max_delay_ms=args.max_delay_ms,
-                      queue_size=4 * args.clients, frame_hw=(h, w))
+                      queue_size=4 * args.clients, frame_hw=(h, w),
+                      return_sr=not args.no_sr)
     with InferenceServer(rec, cfg) as srv:
-        # warmup: compile the batch program before timing
-        srv.infer_many(np.stack([frames[0]] * args.max_batch))
+        pool_n = 0
+        if args.pool:
+            pool_n = srv.preload(np.stack(frames))
+            print(f"# pool mode: {pool_n} frames device-resident, "
+                  f"packed={'packed' in srv._pool}", file=sys.stderr)
+            # warmup: compile the ref-mode batch program before timing
+            for f in [srv.submit_ref(0) for _ in range(args.max_batch)]:
+                f.result()
+        else:
+            # warmup: compile the batch program before timing
+            srv.infer_many(np.stack([frames[0]] * args.max_batch))
         srv.stats = type(srv.stats)()  # reset
 
         fe = HttpFrontend(srv, port=0).start() if args.http else None
@@ -169,6 +200,8 @@ def main():
                         url + "/v2/models/pipeline/infer", data=payload)
                     with urllib.request.urlopen(req) as r:
                         json.loads(r.read())
+                elif args.pool:
+                    srv.infer_ref(cid % pool_n)
                 elif jpeg_paths:
                     srv.submit_path(
                         jpeg_paths[cid % len(jpeg_paths)]).result()
@@ -200,6 +233,7 @@ def main():
             "latency_ms_p50": s["latency_ms_p50"],
             "latency_ms_p99": s["latency_ms_p99"],
             "transport": ("http" if fe
+                          else "pool" if args.pool
                           else "files" if jpeg_paths else "inproc"),
         }))
 
