@@ -179,12 +179,37 @@ def main():
         dt = min(dt, time.perf_counter() - t0)
 
     fps = batch * steps / dt
-    print(json.dumps({
+
+    # --- MFU accounting (client-side XLA cost analysis of the lowered
+    # single-step program; no device work).  Peak: TPU v5e bf16 matmul
+    # 197 TFLOP/s/chip.  The pipeline mixes bf16 convs with f32 NMS/geometry,
+    # so this is the standard "model flops / bf16 peak" MFU definition.
+    record = {
         "metric": "e2e_detect_sr_ocr_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 500.0, 3),
-    }))
+    }
+    if os.environ.get("BENCH_MFU", "1") == "1":
+        try:
+            # axon returns None for Lowered.cost_analysis(); the Compiled
+            # one carries the real XLA HLO cost model (compile is served
+            # from the persistent cache after the first run)
+            if packed_mode:
+                lo = rec._step_frozen.lower(frames[0], packed[0])
+            else:
+                lo = rec._step_frozen.lower(frames[0])
+            ca = lo.cost_analysis()
+            if ca is None:
+                ca = lo.compile().cost_analysis()
+            flops_per_step = float(ca["flops"])
+            v5e_bf16_peak = 197e12
+            mfu = flops_per_step * (fps / batch) / v5e_bf16_peak
+            record["flops_per_frame"] = round(flops_per_step / batch)
+            record["mfu_pct"] = round(100.0 * mfu, 2)
+        except Exception as e:  # pragma: no cover - cost model unavailable
+            print(f"# mfu unavailable: {e}", file=sys.stderr)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
