@@ -18,7 +18,16 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--ckpt-dir", default="checkpoints/lpsr")
-    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint .npz to warm-start from")
+    p.add_argument("--resume-run", action="store_true",
+                   help="warm-start from the newest registry run's 'latest' "
+                        "checkpoint and record it as this run's parent "
+                        "(the reference's W&B resume-from-artifact flow, "
+                        "yolov5/utils/loggers/wandb/wandb_utils.py)")
+    p.add_argument("--runs-dir", default="runs",
+                   help="run-artifact registry root (lpr_tpu.utils.registry)")
+    p.add_argument("--run-project", default="lpsr")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all local devices; multi-process "
                         "(multi-host) when COORDINATOR_ADDRESS/WORLD_SIZE/"
@@ -66,8 +75,39 @@ def main(argv=None):
         print(f"train {len(train_ds)} pairs/rank, val {len(val_ds)} "
               f"pairs/rank" + (f" x {jax.process_count()} ranks" if dist else ""))
 
-    trainer = LPSRTrainer(LPSRTrainConfig(lr=args.lr), LPSRConfig(), mesh=mesh)
+    lpsr_cfg = LPSRConfig()
+    trainer = LPSRTrainer(LPSRTrainConfig(lr=args.lr), lpsr_cfg, mesh=mesh)
     os.makedirs(args.ckpt_dir, exist_ok=True)
+
+    # run-artifact registry: config + dataset fingerprint + ckpt lineage
+    run = parent = None
+    resume_path = args.resume
+    data_dirs = [args.hr_train_dir, args.lr_train_dir,
+                 args.hr_val_dir, args.lr_val_dir]
+    if main_proc:
+        from lpr_tpu.utils.registry import RunRegistry
+
+        registry = RunRegistry(args.runs_dir)
+        if args.resume_run:
+            parent = registry.latest(args.run_project)
+            if parent is None:
+                raise SystemExit(f"--resume-run: no prior runs under "
+                                 f"{args.runs_dir}/{args.run_project}")
+            if resume_path is None:
+                resume_path = registry.resume_checkpoint(args.run_project)
+        run = registry.new_run(args.run_project, config=vars(args),
+                               dataset_dirs=data_dirs, resume_from=parent)
+        print(f"run {run.id} (dataset {run.manifest['dataset_fingerprint']})")
+
+    init_params = None
+    if resume_path:
+        from lpr_tpu.models.lpsr import lpsr_init
+        from lpr_tpu.weights.checkpoint import load_params
+
+        init_params = load_params(
+            resume_path, lpsr_init(jax.random.PRNGKey(0), lpsr_cfg))
+        if main_proc:
+            print(f"resumed weights from {resume_path}")
 
     epoch_counter = [0]
 
@@ -81,8 +121,18 @@ def main(argv=None):
 
     state = trainer.fit(train_batches, val_batches, args.epochs,
                         ckpt_dir=args.ckpt_dir if main_proc else None,
-                        logger=print if main_proc else (lambda *a, **k: None))
+                        logger=print if main_proc else (lambda *a, **k: None),
+                        init_params=init_params)
     if main_proc:
+        best_psnr = float(state["best_psnr"])
+        if run is not None:
+            for fname, aliases in (("last_model.npz", ("latest",)),
+                                   ("best_model.npz", ("best",))):
+                p = os.path.join(args.ckpt_dir, fname)
+                if os.path.exists(p):
+                    run.log_artifact(p, aliases=aliases,
+                                     metrics={"best_psnr": best_psnr})
+            run.finish({"best_psnr": best_psnr, "epochs": args.epochs})
         print("done; best PSNR", state["best_psnr"])
 
 

@@ -40,6 +40,9 @@ def parse_args(argv=None):
                         "(yolov5/train.py:60-62)")
     p.add_argument("--autoanchor", action="store_true",
                    help="evolve anchors from the train labels first")
+    p.add_argument("--runs-dir", default="runs",
+                   help="run-artifact registry root (lpr_tpu.utils.registry)")
+    p.add_argument("--run-project", default="yolo")
     return p.parse_args(argv)
 
 
@@ -129,6 +132,17 @@ def main(argv=None):
     loggers = Loggers(args.ckpt_dir)
     step_counter = [0]
 
+    run = None
+    if main_proc:
+        from lpr_tpu.utils.registry import RunRegistry
+
+        run = RunRegistry(args.runs_dir).new_run(
+            args.run_project, config=vars(args),
+            dataset_dirs=[d for d in (args.img_dir, args.label_dir,
+                                      args.val_img_dir, args.val_label_dir)
+                          if d])
+        print(f"run {run.id} (dataset {run.manifest['dataset_fingerprint']})")
+
     def log(msg):
         if main_proc:
             print(msg)
@@ -141,6 +155,13 @@ def main(argv=None):
         epochs=args.epochs, ckpt_dir=args.ckpt_dir if main_proc else None,
         patience=args.patience, logger=log,
     )
+    if run is not None:
+        for fname, aliases in (("last.npz", ("latest",)),
+                               ("best.npz", ("best",))):
+            p = os.path.join(args.ckpt_dir, fname)
+            if os.path.exists(p):
+                run.log_artifact(p, aliases=aliases)
+        run.finish({"epochs": args.epochs})
 
 
 if __name__ == "__main__":

@@ -151,12 +151,14 @@ class LPSRTrainer:
         ckpt_dir: Optional[str] = None,
         log_every: int = 50,
         logger=print,
+        init_params=None,
     ) -> Dict:
         """Full loop mirroring reference train/lpsr.py:155-201: per-epoch
-        train + val PSNR + plateau step + best/last checkpoints."""
+        train + val PSNR + plateau step + best/last checkpoints.
+        ``init_params`` warm-starts from a prior checkpoint (resume)."""
         from lpr_tpu.weights.checkpoint import save_params
 
-        state = self.init()
+        state = self.init(params=init_params)
         best = -np.inf
         for epoch in range(epochs):
             losses = []
