@@ -114,10 +114,13 @@ def _payload() -> dict:
 
     rng = np.random.RandomState(0)
     losses = []
+    # global batch == global device count so the mesh divides it at any
+    # world size (dryrun_multichip may ask for 16+ devices)
+    b = jax.device_count()
     for _ in range(2):
-        lr_img = rng.rand(8, 8, 16, 3).astype(np.float32)
-        hr_img = rng.rand(8, 8, 16, 1).astype(np.float32)
-        sl = local_slice(8)
+        lr_img = rng.rand(b, 8, 16, 3).astype(np.float32)
+        hr_img = rng.rand(b, 8, 16, 1).astype(np.float32)
+        sl = local_slice(b)
         state, loss = trainer.step(state, lr_img[sl], hr_img[sl])
         losses.append(float(loss))
 
