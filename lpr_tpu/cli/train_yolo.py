@@ -20,12 +20,19 @@ def parse_args(argv=None):
     p.add_argument("--val-label-dir", default=None)
     p.add_argument("--arch", default="yolov5s")
     p.add_argument("--nc", type=int, required=True)
-    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--imgsz", type=int, nargs="+", default=[640],
+                   help="square size, or 'H W' for rectangular training/val "
+                        "(the reference serves its plate detector at rect "
+                        "736x1280, onnx_models/detection/config.pbtxt:8-10)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--lr0", type=float, default=0.01)
     p.add_argument("--max-labels", type=int, default=64)
     p.add_argument("--ckpt-dir", default="checkpoints/yolo")
+    p.add_argument("--init-weights", default=None,
+                   help="warm-start from an .npz checkpoint (the reference's "
+                        "--weights fine-tune path, train.py:117-130); "
+                        "shape-compatible across input geometry (fully-conv)")
     p.add_argument("--patience", type=int, default=100)
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--workers", type=int, default=8,
@@ -40,6 +47,13 @@ def parse_args(argv=None):
                         "(yolov5/train.py:60-62)")
     p.add_argument("--autoanchor", action="store_true",
                    help="evolve anchors from the train labels first")
+    p.add_argument("--evolve", type=int, default=0, metavar="N",
+                   help="genetic hyperparameter evolution: N generations of "
+                        "--epochs-long trainings, keep-by-fitness (reference "
+                        "train.py:538-620); writes evolve.csv + "
+                        "hyp_evolve.yaml to --ckpt-dir, then trains the "
+                        "final model with the winning hyps")
+    p.add_argument("--evolve-seed", type=int, default=0)
     p.add_argument("--runs-dir", default="runs",
                    help="run-artifact registry root (lpr_tpu.utils.registry)")
     p.add_argument("--run-project", default="yolo")
@@ -59,7 +73,10 @@ def main(argv=None):
     from lpr_tpu.train.yolo import YoloTrainConfig, YoloTrainer, fit_yolo
     from lpr_tpu.utils.loggers import Loggers
 
-    hw = (args.imgsz, args.imgsz)
+    if len(args.imgsz) not in (1, 2):
+        raise SystemExit("--imgsz takes one int (square) or two (H W)")
+    hw = tuple(args.imgsz * 2)[:2] if len(args.imgsz) == 1 \
+        else tuple(args.imgsz)
     train_ds = YoloDataset(args.img_dir, args.label_dir, hw,
                            max_labels=args.max_labels,
                            augment=not args.no_augment,
@@ -92,7 +109,7 @@ def main(argv=None):
         for i in range(min(len(train_ds), 500)):
             _, labels = train_ds.get(i)
             v = labels[labels[:, 3] > 0]
-            whs.append(v[:, 3:5] * args.imgsz)
+            whs.append(v[:, 3:5] * np.asarray([hw[1], hw[0]], np.float32))
         wh = np.concatenate(whs) if whs else np.zeros((0, 2))
         if len(wh) >= 8:
             n_anchors = 2 if args.arch == "char_ocr" else 9
@@ -104,6 +121,44 @@ def main(argv=None):
             print("evolved anchors (grid units):", ckpt_anchors.tolist())
 
     model = build_yolo(spec, ckpt_anchors=ckpt_anchors, strides=strides)
+
+    # one flat hyp vector covering aug + loss + optimizer genes — the
+    # reference's hyp.yaml contract (train.py:70, data/hyps/*.yaml); the
+    # no-evolve path trains with exactly these defaults
+    from lpr_tpu.data.yolo_data import YoloAugConfig
+    from lpr_tpu.train.yolo_loss import YoloLossConfig
+
+    hyp = {
+        "lr0": args.lr0, "lrf": 0.01, "momentum": 0.937,
+        "weight_decay": 5e-4, "warmup_epochs": 3.0, "warmup_momentum": 0.8,
+        "warmup_bias_lr": 0.1, "box": 0.05, "cls": 0.5, "cls_pw": 1.0,
+        "obj": 1.0, "obj_pw": 1.0, "anchor_t": 4.0, "fl_gamma": 0.0,
+        "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "degrees": 0.0,
+        "translate": 0.1, "scale": 0.5, "shear": 0.0, "perspective": 0.0,
+        "flipud": 0.0, "fliplr": 0.5, "mosaic": 1.0, "mixup": 0.0,
+        "copy_paste": 0.0,
+    }
+
+    def make_cfgs(h):
+        aug = YoloAugConfig(
+            hsv_h=h["hsv_h"], hsv_s=h["hsv_s"], hsv_v=h["hsv_v"],
+            degrees=h["degrees"], translate=h["translate"], scale=h["scale"],
+            shear=h["shear"], perspective=h["perspective"],
+            flipud=h["flipud"], fliplr=h["fliplr"], mosaic=h["mosaic"],
+            mixup=h["mixup"], copy_paste=h["copy_paste"],
+        )
+        loss = YoloLossConfig(
+            box=h["box"], obj=h["obj"], cls=h["cls"], cls_pw=h["cls_pw"],
+            obj_pw=h["obj_pw"], anchor_t=h["anchor_t"],
+        )
+        tcfg = YoloTrainConfig(
+            lr0=h["lr0"], lrf=h["lrf"], momentum=h["momentum"],
+            weight_decay=h["weight_decay"], warmup_epochs=h["warmup_epochs"],
+            warmup_momentum=h["warmup_momentum"],
+            warmup_bias_lr=h["warmup_bias_lr"], epochs=args.epochs,
+        )
+        return aug, loss, tcfg
+
     batch_size = args.batch_size
     if dist:
         # --batch-size is the GLOBAL batch; each rank trains a strided,
@@ -124,11 +179,67 @@ def main(argv=None):
         mesh = make_mesh() if args.data_parallel else None
     main_proc = is_main_process() if dist else True
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+
+    init_params = None
+    if args.init_weights:
+        from lpr_tpu.weights.checkpoint import load_params
+
+        import jax
+
+        init_params = load_params(args.init_weights,
+                                  model.init(jax.random.PRNGKey(0)))
+        print(f"warm-started from {args.init_weights}")
+
+    if args.evolve:
+        from lpr_tpu.train.yolo import fitness, validate_map
+        from lpr_tpu.utils.evolve import evolve
+
+        def train_and_eval(cand):
+            aug_cfg, loss_cfg, tcfg = make_cfgs(cand)
+            train_ds.aug = aug_cfg
+            t = YoloTrainer(model, tcfg, loss_cfg=loss_cfg,
+                            steps_per_epoch=steps_per_epoch, mesh=mesh)
+            state = fit_yolo(
+                t, lambda: train_ds.batches(batch_size,
+                                            workers=args.workers),
+                lambda: val_ds.batches(batch_size, shuffle=False,
+                                       workers=args.workers),
+                epochs=args.epochs, ckpt_dir=None, patience=args.patience,
+                logger=lambda m: None, init_params=init_params,
+            )
+            metrics = validate_map(
+                model, state["ema"],
+                val_ds.batches(batch_size, shuffle=False,
+                               workers=args.workers))
+            fit = fitness(metrics)
+            print(f"  candidate fitness {fit:.4f} "
+                  f"(mAP50 {metrics['map50']:.4f} mAP {metrics['map']:.4f})")
+            return fit
+
+        csv_path = os.path.join(args.ckpt_dir, "evolve.csv")
+        print(f"evolving {args.evolve} generations of {args.epochs}-epoch "
+              f"trainings -> {csv_path}")
+        hyp, best_fit = evolve(hyp, train_and_eval,
+                               generations=args.evolve,
+                               seed=args.evolve_seed, log_path=csv_path)
+        if main_proc:
+            import yaml
+
+            with open(os.path.join(args.ckpt_dir, "hyp_evolve.yaml"),
+                      "w") as f:
+                yaml.safe_dump({"fitness": float(best_fit),
+                                "hyp": {k: float(v)
+                                        for k, v in hyp.items()}}, f)
+        print(f"evolution done: best fitness {best_fit:.4f}; "
+              f"training final model with winning hyps")
+
+    aug_cfg, loss_cfg, tcfg = make_cfgs(hyp)
+    train_ds.aug = aug_cfg
     trainer = YoloTrainer(
-        model, YoloTrainConfig(lr0=args.lr0, epochs=args.epochs),
+        model, tcfg, loss_cfg=loss_cfg,
         steps_per_epoch=steps_per_epoch, mesh=mesh,
     )
-    os.makedirs(args.ckpt_dir, exist_ok=True)
     loggers = Loggers(args.ckpt_dir)
     step_counter = [0]
 
@@ -153,7 +264,7 @@ def main(argv=None):
         lambda: val_ds.batches(batch_size, shuffle=False,
                                workers=args.workers),
         epochs=args.epochs, ckpt_dir=args.ckpt_dir if main_proc else None,
-        patience=args.patience, logger=log,
+        patience=args.patience, logger=log, init_params=init_params,
     )
     if run is not None:
         for fname, aliases in (("last.npz", ("latest",)),

@@ -49,6 +49,7 @@ class YoloAugConfig:
     mosaic: float = 1.0
     use_mosaic9: bool = False
     copy_paste: float = 0.0  # reference hyp.scratch-low.yaml copy_paste: 0.0
+    mixup: float = 0.0       # reference hyp.scratch-low.yaml mixup: 0.0
 
 
 def load_yolo_labels(path: str) -> np.ndarray:
@@ -451,6 +452,18 @@ class YoloDataset:
                     img, labels_px, rng, self.aug,
                     border=(-oh // 2, -ow // 2),
                 )
+                # reference blends with a SECOND full mosaic sample after
+                # the warp (datasets.py:545-548)
+                if rng.random() < self.aug.mixup:
+                    j = rng.randrange(len(self.paths))
+                    img2, lab2 = self._mosaic4(j, rng)
+                    img2, lab2 = copy_paste(img2, lab2, rng,
+                                            p=self.aug.copy_paste)
+                    img2, lab2 = random_perspective(
+                        img2, lab2, rng, self.aug,
+                        border=(-oh // 2, -ow // 2),
+                    )
+                    img, labels_px = mixup(img, labels_px, img2, lab2, rng)
         else:
             raw, labels = self._load_raw(i)
             img, r, (dx, dy) = letterbox_np(raw, self.img_hw)

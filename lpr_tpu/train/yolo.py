@@ -284,13 +284,16 @@ def fit_yolo(
     patience: int = 100,
     logger=print,
     callbacks=None,
+    init_params=None,
 ):
     """Full training shell (reference train.py:265-420): per-epoch train,
-    EMA-weighted val mAP, fitness-based best checkpointing, early stop."""
+    EMA-weighted val mAP, fitness-based best checkpointing, early stop.
+    ``init_params``: warm-start weights (the reference's --weights
+    fine-tune path, train.py:117-130)."""
     from lpr_tpu.utils.guards import StepGuard
     from lpr_tpu.weights.checkpoint import save_params
 
-    state = trainer.init()
+    state = trainer.init(params=init_params)
     stopper = EarlyStopping(patience=patience)
     guard = StepGuard()
     best = 0.0
