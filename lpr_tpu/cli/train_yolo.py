@@ -243,6 +243,20 @@ def main(argv=None):
     loggers = Loggers(args.ckpt_dir)
     step_counter = [0]
 
+    if main_proc:
+        # pre-training label-stats plot (reference plot_labels on
+        # on_pretrain_routine_end, train.py:236 / utils/plots.py:180-426)
+        from lpr_tpu.eval.plots import plot_labels
+
+        lab_rows = []
+        for i in range(min(len(train_ds), 1000)):
+            lab = np.asarray(train_ds._load_raw(i)[1])
+            if lab.ndim == 2 and lab.shape[1] == 5 and len(lab):
+                lab_rows.append(lab)
+        if lab_rows:
+            plot_labels(np.concatenate(lab_rows),
+                        os.path.join(args.ckpt_dir, "labels.png"))
+
     run = None
     if main_proc:
         from lpr_tpu.utils.registry import RunRegistry

@@ -73,20 +73,34 @@ def plot_confusion_matrix(
 
 
 def plot_labels(labels: np.ndarray, path: Optional[str] = None):
-    """Label statistics: class histogram + box wh scatter (labels (N,5)
-    [cls,cx,cy,w,h] normalized)."""
+    """Label statistics before training (reference plot_labels,
+    yolov5/utils/plots.py:180-426): class histogram, xy/wh scatter, and
+    2D-density correlogram panels.  labels (N,5) [cls,cx,cy,w,h]
+    normalized."""
     plt = _plt()
     if plt is None:
         return None
-    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+    axes = axes.ravel()
     axes[0].hist(labels[:, 0], bins=int(labels[:, 0].max()) + 1
                  if len(labels) else 1)
     axes[0].set_title("classes")
     if len(labels):
         axes[1].scatter(labels[:, 1], labels[:, 2], s=2, alpha=0.4)
         axes[2].scatter(labels[:, 3], labels[:, 4], s=2, alpha=0.4)
+        # correlogram panels (the reference's seaborn pairplot density,
+        # reduced to the two informative marginals: xy and wh)
+        axes[3].hist2d(labels[:, 1], labels[:, 2], bins=40,
+                       range=[[0, 1], [0, 1]], cmap="Blues")
+        axes[4].hist2d(labels[:, 3], labels[:, 4], bins=40,
+                       range=[[0, 1], [0, 1]], cmap="Blues")
+        axes[5].hist(labels[:, 3] / np.maximum(labels[:, 4], 1e-9),
+                     bins=40, range=(0, 8))
     axes[1].set_title("xy centers")
     axes[2].set_title("wh")
+    axes[3].set_title("xy density")
+    axes[4].set_title("wh density")
+    axes[5].set_title("aspect ratio")
     if path:
         fig.savefig(path, dpi=150, bbox_inches="tight")
         plt.close(fig)
