@@ -16,6 +16,12 @@ Network-compatible replacement for the reference's Triton HTTP surface
 
 stdlib-only (no extra deps); one thread per connection on top of the
 dynamic-batching dispatch loop.
+
+Deployment note: like the reference's Triton config this surface carries
+NO authentication, TLS, or request-size/backpressure limits — the dispatch
+queue grows unboundedly under overload.  It is a trusted-network serving
+shim; production deployments should front it with a reverse proxy that
+terminates auth/TLS and enforces body-size + concurrency caps.
 """
 
 from __future__ import annotations
