@@ -3,8 +3,10 @@
 Runs the fused recognizer step (plate YOLO @ 1280^2 + top-3 crop/deskew +
 LPSR + 2x char OCR + NMS, one jitted program) on the real TPU with the
 shipped char/LPSR weights and the self-trained yolov5s-scale plate detector
-(``checkpoints/demo_plate_s.npz`` — the upstream ``object.pt`` is a missing
-blob; same architecture, real trained weights) over synthetic street frames
+(``checkpoints/plate_det640.npz``, trained at production geometry —
+the upstream ``object.pt`` is a missing blob; same architecture, real
+trained weights; falls back to the round-3 ``demo_plate_s.npz``) over
+synthetic street frames
 containing plates, so NMS/crop geometry stages see a realistic detection
 distribution.
 
@@ -94,12 +96,15 @@ def main():
     key = jax.random.PRNGKey(0)
     plate = build_yolo(yolov5_spec(nc=11), strides=(8, 16, 32))
     plate_params = plate.init(key)
-    demo_s = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "checkpoints", "demo_plate_s.npz")
-    if os.path.exists(demo_s):
-        from lpr_tpu.weights.checkpoint import load_params
+    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "checkpoints")
+    for name in ("plate_det640.npz", "demo_plate_s.npz"):
+        path = os.path.join(ckpt_dir, name)
+        if os.path.exists(path):
+            from lpr_tpu.weights.checkpoint import load_params
 
-        plate_params = load_params(demo_s, plate_params)
+            plate_params = load_params(path, plate_params)
+            break
 
     ref_char = "/root/reference/weights/char.pt"
     ref_lpsr = "/root/reference/weights/best_model.pth"
