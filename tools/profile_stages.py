@@ -21,27 +21,37 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 
-def timed(name, fn, *args, steps=10):
+def timed(name, fn, *args, steps=(10, 50)):
     """Scan-chain ``fn`` with the FIRST arg perturbed per step (prevents XLA
-    hoisting the loop-invariant body out of the scan)."""
+    hoisting the loop-invariant body out of the scan).
+
+    Timed at TWO scan lengths and differenced: a single axon dispatch+fetch
+    carries a ~26 ms fixed cost (measured round 4: the same conv program
+    reads 2.72 ms/step chained x10 but 0.37 x100), which the two-point
+    slope eliminates exactly — no RTT constant to subtract afterwards."""
     import jax
     import jax.numpy as jnp
 
-    def chained(*a):
-        def body(acc, i):
-            first = a[0] + i.astype(a[0].dtype)
-            out = fn(first, *a[1:])
-            dep = sum(jnp.asarray(x, jnp.float32).sum()
-                      for x in jax.tree.leaves(out))
-            return acc + dep, ()
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(steps))
-        return acc
+    def run(n):
+        def chained(*a):
+            def body(acc, i):
+                first = a[0] + i.astype(a[0].dtype)
+                out = fn(first, *a[1:])
+                dep = sum(jnp.asarray(x, jnp.float32).sum()
+                          for x in jax.tree.leaves(out))
+                return acc + dep, ()
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+            return acc
 
-    f = jax.jit(chained)
-    np.asarray(f(*args))
-    t0 = time.perf_counter()
-    np.asarray(f(*args))
-    dt = (time.perf_counter() - t0) / steps
+        f = jax.jit(chained)
+        np.asarray(f(*args))
+        t0 = time.perf_counter()
+        np.asarray(f(*args))
+        return time.perf_counter() - t0
+
+    n1, n2 = steps
+    t1, t2 = run(n1), run(n2)
+    dt = (t2 - t1) / (n2 - n1)
     print(f"{name:28s} {dt*1e3:8.2f} ms/step")
     return dt
 
