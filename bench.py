@@ -81,7 +81,11 @@ def main():
     from lpr_tpu.pipeline.recognizer import PipelineConfig, PlateRecognizer
 
     batch = int(os.environ.get("BENCH_BATCH", "32"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    # 30 steps amortizes the ~26 ms fixed axon dispatch+fetch cost (measured
+    # round 4, BENCHLOG "Measurement correction") to <1 ms/step while the
+    # frame pool (30x32 720p u8 + packed planes, ~5 GB) stays well inside
+    # HBM; at the old 10 the fixed cost inflated the step by ~2.6 ms.
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
     frame_hw = (720, 1280)
     # rect inference (reference letterbox auto=True, augmentations.py:91-121:
     # "minimum rectangle"): detector height snaps to the frame aspect at a
