@@ -22,6 +22,28 @@ def test_traced_bytes_counts():
     assert out == 4
 
 
+def test_traced_bytes_counts_skip_connection_liveness():
+    """A residual held across a chain of ops must be counted for its whole
+    lifetime (the round-4 fix: the old max-single-equation estimate missed
+    this and under-counted yolov5s @640 by ~2x vs compiled memory_analysis;
+    see tools/validate_autobatch.py)."""
+    n = 256 * 256  # 256 KiB per f32 buffer
+
+    def f(x):
+        y = x * 2.0            # residual, read again at the end
+        z = jnp.tanh(y)
+        w = jnp.tanh(z)
+        v = jnp.tanh(w)
+        return y + v
+
+    x = jax.ShapeDtypeStruct((n,), np.float32)
+    peak, _ = traced_bytes(f, x)
+    # at the `v = tanh(w)` equation the live set is {x? no — freed}, y, w, v
+    # = 3 buffers + the input already freed; with the input's early
+    # lifetime, peak must be at least 3 buffers
+    assert peak >= 3 * n * 4
+
+
 def test_autobatch_small_model():
     from lpr_tpu.models.lpsr import LPSRConfig, lpsr_apply, lpsr_init
 
