@@ -84,17 +84,24 @@ def main(argv=None):
     resume_path = args.resume
     data_dirs = [args.hr_train_dir, args.lr_train_dir,
                  args.hr_val_dir, args.lr_val_dir]
-    if main_proc:
-        from lpr_tpu.utils.registry import RunRegistry
+    from lpr_tpu.utils.registry import RunRegistry
 
-        registry = RunRegistry(args.runs_dir)
-        if args.resume_run:
-            parent = registry.latest(args.run_project)
-            if parent is None:
-                raise SystemExit(f"--resume-run: no prior runs under "
-                                 f"{args.runs_dir}/{args.run_project}")
-            if resume_path is None:
-                resume_path = registry.resume_checkpoint(args.run_project)
+    registry = RunRegistry(args.runs_dir)
+    if args.resume_run:
+        # resolved on EVERY rank (read-only): replicate() requires each
+        # process to warm-start from the same value, and a missing prior
+        # run must fail all ranks rather than leave rank 0 exiting while
+        # the others hang in the first collective.  Assumes the runs dir
+        # is on a shared filesystem, like the checkpoints themselves.
+        parent = registry.latest(args.run_project)
+        if parent is None:
+            raise SystemExit(f"--resume-run: no prior runs under "
+                             f"{args.runs_dir}/{args.run_project}")
+        if resume_path is None:
+            resume_path = registry.resume_checkpoint(args.run_project)
+    if main_proc:
+        # the registry WRITE stays rank-0-only so concurrent ranks don't
+        # race on run-id allocation
         run = registry.new_run(args.run_project, config=vars(args),
                                dataset_dirs=data_dirs, resume_from=parent)
         print(f"run {run.id} (dataset {run.manifest['dataset_fingerprint']})")

@@ -162,9 +162,10 @@ def main(argv=None):
     batch_size = args.batch_size
     if dist:
         # --batch-size is the GLOBAL batch; each rank trains a strided,
-        # equal-length subset (the reference's DistributedSampler split) and
-        # validates the full set redundantly (see fit_yolo) so early-stop
-        # decisions stay rank-consistent.
+        # equal-length subset (the reference's DistributedSampler split —
+        # safe after cache_all/autoanchor because the RAM cache is keyed by
+        # path, not index) and validates the full set redundantly (see
+        # fit_yolo) so early-stop decisions stay rank-consistent.
         import jax
 
         w, r = jax.process_count(), jax.process_index()
@@ -208,8 +209,17 @@ def main(argv=None):
                 epochs=args.epochs, ckpt_dir=None, patience=args.patience,
                 logger=lambda m: None, init_params=init_params,
             )
+            ema = state["ema"]
+            if dist:
+                # same guard as fit_yolo: validate_map's plain jit runs
+                # per-process on local devices — fetch the replicated EMA
+                # off the global mesh first.  Seeded mutation + redundant
+                # full-set validation keep every rank's GA in lockstep.
+                import jax
+
+                ema = jax.device_get(ema)
             metrics = validate_map(
-                model, state["ema"],
+                model, ema,
                 val_ds.batches(batch_size, shuffle=False,
                                workers=args.workers))
             fit = fitness(metrics)
@@ -222,7 +232,11 @@ def main(argv=None):
               f"trainings -> {csv_path}")
         hyp, best_fit = evolve(hyp, train_and_eval,
                                generations=args.evolve,
-                               seed=args.evolve_seed, log_path=csv_path)
+                               seed=args.evolve_seed,
+                               # only rank 0 appends to evolve.csv — on a
+                               # shared filesystem every rank writing would
+                               # interleave duplicate rows
+                               log_path=csv_path if main_proc else None)
         if main_proc:
             import yaml
 

@@ -316,18 +316,22 @@ class YoloDataset:
         return self._cache_bytes / 1e9
 
     def _load_raw(self, i) -> Tuple[np.ndarray, np.ndarray]:
+        # the cache is keyed by PATH, not index: callers (multi-process data
+        # parallelism, rect-val reordering) re-slice ``self.paths`` after
+        # the cache is filled, which would silently desync an index key
+        path = self.paths[i]
         if self._cache is not None:
-            hit = self._cache.get(i)
+            hit = self._cache.get(path)
             if hit is not None:
                 return hit
-        img = np.asarray(Image.open(self.paths[i]).convert("RGB"), np.uint8)
-        stem = os.path.splitext(os.path.basename(self.paths[i]))[0]
+        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        stem = os.path.splitext(os.path.basename(path))[0]
         labels = load_yolo_labels(os.path.join(self.label_dir, stem + ".txt"))
         if (self._cache is not None
                 and self._cache_bytes + img.nbytes <= self._cache_budget):
             # decoded arrays are never mutated downstream (mosaic/aug copy
             # into fresh canvases), so caching the object itself is safe
-            self._cache[i] = (img, labels)
+            self._cache[path] = (img, labels)
             self._cache_bytes += img.nbytes
         return img, labels
 

@@ -19,6 +19,62 @@ import numpy as np
 V5E_HBM_BYTES = 16 * 1024**3
 
 
+def _aval_bytes(aval) -> int:
+    if not hasattr(aval, "shape"):
+        return 0
+    return (int(np.prod(aval.shape)) * aval.dtype.itemsize
+            if aval.shape else aval.dtype.itemsize)
+
+
+def _peak_live_bytes(jaxpr, count_invars: bool) -> int:
+    """Peak simultaneously-live intermediate bytes under ``jaxpr``'s
+    schedule.  ``count_invars`` includes the jaxpr's own invars in the live
+    set — True at top level, where they are the batch sample; False for
+    inner jaxprs (scan/cond/pjit bodies), whose invars alias outer buffers
+    the caller has already counted.  Inner jaxprs recurse: their peak is
+    assumed to coincide with the outer equation's execution point."""
+    from jax.extend.core import Literal
+
+    eqns = jaxpr.eqns
+    # last equation index at which each var is read (outvars of the jaxpr
+    # are live to the end)
+    last_use = {}
+    for i, eqn in enumerate(eqns):
+        for v in eqn.invars:
+            if hasattr(v, "aval") and not isinstance(v, Literal):
+                last_use[v] = i
+    n = len(eqns)
+    for v in jaxpr.outvars:
+        if hasattr(v, "aval"):
+            last_use[v] = n
+
+    alive = set()
+    live = 0
+    if count_invars:
+        alive = {v for v in jaxpr.invars if hasattr(v, "aval")}
+        live = sum(_aval_bytes(v.aval) for v in alive)
+    peak = live
+    for i, eqn in enumerate(eqns):
+        inner = 0
+        for p in eqn.params.values():
+            cj = getattr(p, "jaxpr", None)
+            if cj is not None:
+                inner += _peak_live_bytes(getattr(cj, "jaxpr", cj), False)
+        for v in eqn.outvars:
+            live += _aval_bytes(v.aval)
+            alive.add(v)
+        peak = max(peak, live + inner)
+        # free intermediates whose final read is this equation (and outputs
+        # never read at all)
+        for v in list(eqn.invars) + list(eqn.outvars):
+            if isinstance(v, Literal):
+                continue
+            if v in alive and last_use.get(v, i) <= i:
+                live -= _aval_bytes(v.aval)
+                alive.discard(v)
+    return peak
+
+
 def traced_bytes(fn: Callable, *example_args) -> Tuple[int, int]:
     """(peak activation bytes, output bytes) for fn(*example_args), from a
     liveness analysis of the traced jaxpr: peak = the largest set of
@@ -41,61 +97,15 @@ def traced_bytes(fn: Callable, *example_args) -> Tuple[int, int]:
     Naive full (8,128)-tile padding of every value is NOT the answer — it
     overshoots 26x because XLA picks better layouts for small-C tensors.
 
-    Compile-free: no device work, no XLA invocation.
+    Compile-free: no device work, no XLA invocation.  The top-level invars
+    (the batch sample) are counted live from the start to their last read;
+    constvars (closed-over params) are the caller's param_bytes, not
+    per-sample activations.  Inner jaxprs (scan/remat/pjit bodies) are
+    recursed into with the same analysis, not summed over their equations.
     """
     jaxpr = jax.make_jaxpr(fn)(*example_args)
-
-    def size(aval):
-        if not hasattr(aval, "shape"):
-            return 0
-        return (int(np.prod(aval.shape)) * aval.dtype.itemsize
-                if aval.shape else aval.dtype.itemsize)
-
-    from jax.extend.core import Literal
-
-    eqns = jaxpr.jaxpr.eqns
-    # last equation index at which each var is read (outvars of the jaxpr
-    # are live to the end)
-    last_use = {}
-    for i, eqn in enumerate(eqns):
-        for v in eqn.invars:
-            if hasattr(v, "aval") and not isinstance(v, Literal):
-                last_use[v] = i
-    n = len(eqns)
-    for v in jaxpr.jaxpr.outvars:
-        if hasattr(v, "aval"):
-            last_use[v] = n
-
-    # invars (the batch sample) occupy HBM and scale with batch — count
-    # them live from the start to their last read; constvars (closed-over
-    # params) are the caller's param_bytes, not per-sample activations
-    alive = {v for v in jaxpr.jaxpr.invars if hasattr(v, "aval")}
-    live = sum(size(v.aval) for v in alive)
-    peak = live
-    for i, eqn in enumerate(eqns):
-        # inner jaxprs (scan/cond bodies) contribute their own live sets
-        # while they run; approximate with the max single-equation term
-        inner = 0
-        for p in eqn.params.values():
-            cj = getattr(p, "jaxpr", None)
-            if cj is not None:
-                inner += sum(
-                    max((size(v.aval) for v in e.outvars), default=0)
-                    for e in cj.eqns)
-        for v in eqn.outvars:
-            live += size(v.aval)
-            alive.add(v)
-        peak = max(peak, live + inner)
-        # free intermediates whose final read is this equation (and outputs
-        # never read at all); jaxpr inputs/constvars are accounted by the
-        # caller as args/params, not here
-        for v in list(eqn.invars) + list(eqn.outvars):
-            if isinstance(v, Literal):
-                continue
-            if v in alive and last_use.get(v, i) <= i:
-                live -= size(v.aval)
-                alive.discard(v)
-    out_bytes = sum(size(v.aval) for v in jaxpr.jaxpr.outvars)
+    peak = _peak_live_bytes(jaxpr.jaxpr, count_invars=True)
+    out_bytes = sum(_aval_bytes(v.aval) for v in jaxpr.jaxpr.outvars)
     return peak, out_bytes
 
 

@@ -43,21 +43,33 @@ def dataset_fingerprint(dirs: Sequence[str], max_files: int = 200_000) -> str:
     the same role W&B's dataset artifact digest plays."""
     h = hashlib.sha256()
     entries: List[str] = []
+    truncated = False
     for d in dirs:
+        if truncated:
+            break
         if not d or not os.path.isdir(d):
             entries.append(f"missing:{d}")
             continue
         root = os.path.abspath(d)
-        for dirpath, _, names in os.walk(root):
-            for n in names:
+        for dirpath, dirnames, names in os.walk(root):
+            # sort the walk so the (possibly truncated) entry set is the
+            # same on every filesystem — a fingerprint that depends on
+            # readdir order can't detect drift
+            dirnames.sort()
+            for n in sorted(names):
+                if len(entries) >= max_files:
+                    truncated = True
+                    break
                 p = os.path.join(dirpath, n)
                 try:
                     sz = os.path.getsize(p)
                 except OSError:
                     sz = -1
                 entries.append(f"{os.path.relpath(p, root)}:{sz}")
-                if len(entries) > max_files:
-                    break
+            if truncated:
+                break
+    if truncated:
+        entries.append(f"truncated:{max_files}")
     for e in sorted(entries):
         h.update(e.encode())
     return h.hexdigest()[:16]
