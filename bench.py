@@ -3,9 +3,10 @@
 Runs the fused recognizer step (plate YOLO @ 1280^2 + top-3 crop/deskew +
 LPSR + 2x char OCR + NMS, one jitted program) on the real TPU with the
 shipped char/LPSR weights and the self-trained yolov5s-scale plate detector
-(``checkpoints/plate_det640.npz``, trained at production geometry —
-the upstream ``object.pt`` is a missing blob; same architecture, real
-trained weights; falls back to the round-3 ``demo_plate_s.npz``) over
+(``checkpoints/plate_det640.npz``, trained at 640^2 and validated at the
+production rect 736x1280 serving shape — the upstream ``object.pt`` is a
+missing blob; same architecture, real trained weights; falls back to the
+round-3 ``demo_plate_s.npz``) over
 synthetic street frames
 containing plates, so NMS/crop geometry stages see a realistic detection
 distribution.

@@ -93,7 +93,12 @@ def main(argv=None):
         # run must fail all ranks rather than leave rank 0 exiting while
         # the others hang in the first collective.  Assumes the runs dir
         # is on a shared filesystem, like the checkpoints themselves.
-        parent = registry.latest(args.run_project)
+        # Resolution keys on the newest run WITH a 'latest' checkpoint —
+        # never on bare directory order — so a rank that arrives after
+        # rank 0 has already opened the new (artifact-less) run resolves
+        # the same parent and the same warm-start path as every other
+        # rank (no silent cross-rank divergence).
+        parent = registry.latest(args.run_project, with_artifact="latest")
         if parent is None:
             raise SystemExit(f"--resume-run: no prior runs under "
                              f"{args.runs_dir}/{args.run_project}")

@@ -286,7 +286,7 @@ def main(argv=None):
         if main_proc:
             print(msg)
 
-    fit_yolo(
+    state = fit_yolo(
         trainer,
         lambda: train_ds.batches(batch_size, workers=args.workers),
         lambda: val_ds.batches(batch_size, shuffle=False,
@@ -300,7 +300,7 @@ def main(argv=None):
             p = os.path.join(args.ckpt_dir, fname)
             if os.path.exists(p):
                 run.log_artifact(p, aliases=aliases)
-        run.finish({"epochs": args.epochs})
+        run.finish({"epochs": args.epochs, **state.get("summary", {})})
 
 
 if __name__ == "__main__":

@@ -296,7 +296,8 @@ def fit_yolo(
     state = trainer.init(params=init_params)
     stopper = EarlyStopping(patience=patience)
     guard = StepGuard()
-    best = 0.0
+    best = fit = 0.0
+    metrics = {"map50": 0.0, "map": 0.0}
     if callbacks:
         callbacks.run("on_train_start")
     for epoch in range(epochs):
@@ -334,6 +335,15 @@ def fit_yolo(
             break
     if callbacks:
         callbacks.run("on_train_end")
+    # final-val summary for the run registry (W&B wandb_log final-metrics
+    # semantics): callers hand this to Run.finish() so committed manifests
+    # carry the numbers, not `summary: null`
+    state["summary"] = {
+        "best_fitness": float(best),
+        "final_fitness": float(fit),
+        "final_map50": float(metrics["map50"]),
+        "final_map": float(metrics["map"]),
+    }
     return state
 
 

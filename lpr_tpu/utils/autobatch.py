@@ -57,6 +57,17 @@ def _peak_live_bytes(jaxpr, count_invars: bool) -> int:
     for i, eqn in enumerate(eqns):
         inner = 0
         for p in eqn.params.values():
+            # scan/pjit/while expose .jaxpr directly; cond/switch store a
+            # tuple of ClosedJaxprs under params['branches'] — recurse into
+            # both so branch bodies contribute to the peak.  Only one
+            # branch of a cond executes, so a tuple contributes its max.
+            if isinstance(p, (tuple, list)):
+                branch_peaks = [
+                    _peak_live_bytes(getattr(s.jaxpr, "jaxpr", s.jaxpr), False)
+                    for s in p if getattr(s, "jaxpr", None) is not None
+                ]
+                inner += max(branch_peaks, default=0)
+                continue
             cj = getattr(p, "jaxpr", None)
             if cj is not None:
                 inner += _peak_live_bytes(getattr(cj, "jaxpr", cj), False)

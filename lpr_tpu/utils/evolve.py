@@ -76,6 +76,11 @@ def evolve(
     """Run GA: each generation mutates the best-so-far hyp, trains briefly
     via ``train_and_eval`` (returns fitness), keeps improvements."""
     rng = random.Random(seed)
+    if log_path and os.path.exists(log_path):
+        # rotate, never append: appending a fresh GA run onto an old CSV
+        # silently mixes generations from different runs and can leave
+        # hyp_evolve.yaml inconsistent with the log
+        os.replace(log_path, log_path + ".prev")
     best_hyp, best_fit = dict(base_hyp), train_and_eval(base_hyp)
     history: List[Tuple[float, Dict[str, float]]] = [(best_fit, best_hyp)]
     for gen in range(generations):

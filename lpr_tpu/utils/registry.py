@@ -185,9 +185,19 @@ class RunRegistry:
         with open(os.path.join(d, "run.json")) as f:
             return Run(dir=d, manifest=json.load(f))
 
-    def latest(self, project: str) -> Optional[Run]:
-        names = self.runs(project)
-        return self.load(project, names[-1]) if names else None
+    def latest(self, project: str,
+               with_artifact: Optional[str] = None) -> Optional[Run]:
+        """Newest run; with ``with_artifact=<alias>``, the newest run that
+        has checkpointed under that alias.  Multi-host resume resolution
+        MUST pass an alias: rank 0 creates the new (artifact-less) run dir
+        concurrently with other ranks resolving their warm-start, so 'the
+        newest run dir' is rank-order-dependent while 'the newest run with
+        a latest checkpoint' is deterministic."""
+        for name in reversed(self.runs(project)):
+            run = self.load(project, name)
+            if with_artifact is None or run.artifact(with_artifact):
+                return run
+        return None
 
     def new_run(self, project: str, config: Dict,
                 dataset_dirs: Sequence[str] = (),
@@ -224,10 +234,11 @@ class RunRegistry:
 
     def resume_checkpoint(self, project: str,
                           alias: str = "latest") -> Optional[str]:
-        """Path of the newest run's aliased checkpoint, or None — the
-        ``--resume`` entry point (W&B ``download_model_artifact``)."""
-        run = self.latest(project)
+        """Path of the newest aliased checkpoint, or None — the
+        ``--resume`` entry point (W&B ``download_model_artifact``).
+        Runs without the alias are skipped, so a concurrently-created
+        (not-yet-checkpointed) run never shadows the real resume target."""
+        run = self.latest(project, with_artifact=alias)
         if run is None:
             return None
-        art = run.artifact(alias)
-        return art["path"] if art else None
+        return run.artifact(alias)["path"]
