@@ -21,6 +21,9 @@ def parse_args(argv=None):
     p.add_argument("--iou", type=float, default=0.3)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--json-out", type=str, default=None)
+    p.add_argument("--per-image", action="store_true",
+                   help="include per-image gt/raw/sr strings in --json-out "
+                        "(the error-distribution analyses need them)")
     p.add_argument("--verbose", action="store_true")
     return p.parse_args(argv)
 
@@ -47,10 +50,13 @@ def main(argv=None):
           f"{(rep.cer_sr-rep.cer_raw)*100:+.2f} pts CER")
     if args.json_out:
         with open(args.json_out, "w") as f:
-            json.dump({
+            out = {
                 "n": rep.n, "acc_raw": rep.acc_raw, "acc_sr": rep.acc_sr,
                 "cer_raw": rep.cer_raw, "cer_sr": rep.cer_sr,
-            }, f)
+            }
+            if args.per_image:
+                out["per_image"] = rep.per_image
+            json.dump(out, f)
 
 
 if __name__ == "__main__":
