@@ -59,6 +59,18 @@ def parse_args(argv=None):
     p.add_argument("--p-gan", type=float, default=0.15,
                    help="per-sample probability of the learned-degradation "
                         "route (remaining mass splits evenly uniform/r3c)")
+    p.add_argument("--real-gan-weights", default=None,
+                   help="real-LR CycleGAN G (tools/train_cyclegan_real.py) "
+                        "— the reference's 60%%-rate real-domain route "
+                        "(my_utils/create_lr.py:45-90)")
+    p.add_argument("--p-real-gan", type=float, default=0.0,
+                   help="per-sample probability of the REAL-LR learned "
+                        "route (applied before --p-gan)")
+    p.add_argument("--p-invert", type=float, default=0.0,
+                   help="per-sample probability of polarity inversion of "
+                        "the LR input (white-on-dark plates, e.g. the CN "
+                        "blue fixtures; target stays dark-on-light so the "
+                        "model learns polarity NORMALIZATION)")
     p.add_argument("--kernels", default="/root/reference/estimated-kn")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     return p.parse_args(argv)
@@ -105,7 +117,17 @@ def main(argv=None):
         print(f"# no GAN weights at {args.gan_weights}; gan route off",
               file=sys.stderr)
 
+    real_gan_params = None
+    if args.real_gan_weights and os.path.exists(args.real_gan_weights):
+        real_gan_params = load_params(args.real_gan_weights,
+                                      generator_init(jax.random.PRNGKey(0)))
+    elif args.p_real_gan > 0:
+        print(f"# no real-GAN weights at {args.real_gan_weights}; "
+              f"real route off", file=sys.stderr)
+
     p_gan = args.p_gan if gan_params is not None else 0.0
+    p_real = args.p_real_gan if real_gan_params is not None else 0.0
+    p_inv = args.p_invert
 
     @jax.jit
     def make_lr(key, hr8, clean_lr8):
@@ -113,7 +135,7 @@ def main(argv=None):
         makes per-batch host round-trips ~50x slower than the compute)."""
         hr = hr8.astype(jnp.float32) / 255.0
         b = hr.shape[0]
-        ks = jax.random.split(key, 8)
+        ks = jax.random.split(key, 12)
         # estimated real-blur kernel gate (shared by both classical chains,
         # p=0.3 like the eval builders)
         blurred = jax.vmap(
@@ -136,6 +158,31 @@ def main(argv=None):
                 0.0, 1.0)
             g = jax.random.uniform(ks[7], (b, 1, 1, 1)) < p_gan
             lr = jnp.where(g, gan_lr, lr)
+        if p_real > 0.0:
+            # the real-LR learned route (reference create_lr.py:45-90
+            # routes 60% of LR synthesis through its real-capture G)
+            clean = clean_lr8.astype(jnp.float32) / 255.0
+            real_lr = jnp.clip(
+                generator_apply(real_gan_params, clean * 2.0 - 1.0) * 0.5
+                + 0.5, 0.0, 1.0)
+            g = jax.random.uniform(ks[8], (b, 1, 1, 1)) < p_real
+            lr = jnp.where(g, real_lr, lr)
+        if p_inv > 0.0:
+            # polarity augmentation (round-5 item 3): invert the INPUT only
+            # — the grayscale target stays dark-on-light, teaching the net
+            # to polarity-normalize white-on-dark (CN-style) plates.  A
+            # random channel cast moves the inverted background off neutral
+            # gray toward colored (e.g. blue) backgrounds.
+            # channel ranges biased toward the blue-background real domain
+            # (measured CN fixture means: R 0.14-0.32, G 0.22-0.53,
+            # B 0.31-0.74)
+            cast = jax.random.uniform(
+                ks[9], (b, 1, 1, 3),
+                minval=jnp.asarray([0.30, 0.45, 0.70]),
+                maxval=jnp.asarray([0.85, 0.95, 1.05]))
+            inv = jnp.clip((1.0 - lr) * cast, 0.0, 1.0)
+            g = jax.random.uniform(ks[10], (b, 1, 1, 1)) < p_inv
+            lr = jnp.where(g, inv, lr)
         return lr
 
     # --- paired pool: HR renders (half font / half plate style), grayscale
