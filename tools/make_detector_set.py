@@ -251,9 +251,12 @@ def _match_photometry(crop: np.ndarray, bg: np.ndarray,
 
 
 def render_scene_photo(rng: random.Random, w: int, h: int,
-                       max_plates: int = 3, neg_p: float = 0.15):
+                       max_plates: int = 3, neg_p: float = 0.15,
+                       occlude_p: float = 0.0):
     """Photographic-realism scene (round 5).  Same label contract as
-    render_scene."""
+    render_scene.  ``occlude_p``: probability a pasted plate gets partially
+    occluded by a random bar/blob (adversarial-val mode; the label is
+    kept, as for real partial occlusions)."""
     img = _photo_background(rng, w, h)
     labels = []
     boxes = []
@@ -310,6 +313,18 @@ def render_scene_photo(rng: random.Random, w: int, h: int,
             else:
                 px, py = x1, y1
             _paste_soft(img, crop, px, py, rng)
+            if occlude_p > 0 and rng.random() < occlude_p:
+                d = ImageDraw.Draw(img)
+                oc = tuple(rng.randint(15, 220) for _ in range(3))
+                if rng.random() < 0.5:  # vertical bar (pole/frame edge)
+                    ow = max(2, int(pw * rng.uniform(0.1, 0.3)))
+                    ox = px + rng.randint(0, max(pw - ow, 1))
+                    d.rectangle([ox, py - 2, ox + ow, py + ph + 2], fill=oc)
+                else:  # corner blob (dirt/sticker)
+                    r_ = max(2, int(ph * rng.uniform(0.3, 0.7)))
+                    ox = px + rng.choice([0, pw - r_])
+                    oy = py + rng.choice([0, ph - r_])
+                    d.ellipse([ox, oy, ox + r_, oy + r_], fill=oc)
             cls = 7.0 if two else 8.0
             labels.append((cls, (px + pw / 2) / w, (py + ph / 2) / h,
                            pw / w, ph / h))
@@ -393,7 +408,7 @@ def render_scene(rng: random.Random, w: int, h: int, max_plates: int = 3):
 
 def write_split(out: str, split: str, n: int, w: int, h: int,
                 seed: int, max_plates: int, photo: bool = False,
-                neg_p: float = 0.15) -> None:
+                neg_p: float = 0.15, occlude_p: float = 0.0) -> None:
     img_dir = os.path.join(out, split, "images")
     lbl_dir = os.path.join(out, split, "labels")
     os.makedirs(img_dir, exist_ok=True)
@@ -401,7 +416,8 @@ def write_split(out: str, split: str, n: int, w: int, h: int,
     rng = random.Random(seed)
     for i in range(n):
         if photo:
-            frame, labels = render_scene_photo(rng, w, h, max_plates, neg_p)
+            frame, labels = render_scene_photo(rng, w, h, max_plates, neg_p,
+                                               occlude_p)
         else:
             frame, labels = render_scene(rng, w, h, max_plates)
         stem = f"{split}_{i:05d}"
@@ -426,14 +442,18 @@ def main():
                     help="round-5 photographic-realism mode (see module doc)")
     ap.add_argument("--neg-p", type=float, default=0.15,
                     help="plate-free negative-frame probability (photo mode)")
+    ap.add_argument("--occlude-p", type=float, default=0.0,
+                    help="per-plate partial-occlusion probability "
+                         "(adversarial val mode)")
     args = ap.parse_args()
     if args.n:
         write_split(args.out, "train", args.n, args.width, args.height,
-                    args.seed, args.max_plates, args.photo, args.neg_p)
+                    args.seed, args.max_plates, args.photo, args.neg_p,
+                    args.occlude_p)
     if args.val_n:
         write_split(args.out, "val", args.val_n, args.width, args.height,
                     args.seed + 10_000, args.max_plates, args.photo,
-                    args.neg_p)
+                    args.neg_p, args.occlude_p)
 
 
 if __name__ == "__main__":
