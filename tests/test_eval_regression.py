@@ -150,3 +150,30 @@ def test_glare_protocol_subsample_floors(tmp_path):
     # north-star deltas at ≥ published magnitude on this slice
     assert rep.acc_sr - rep.acc_raw >= 0.15, rep.summary()
     assert rep.cer_raw - rep.cer_sr >= 0.15, rep.summary()
+
+
+def test_uniform_gap_analysis_committed():
+    """The round-5 gap quantification (EVAL_r5/uniform_gap_analysis.json)
+    must stay internally consistent: C = acc / (1-cer)^L recomputable from
+    the stored per-path stats, and the headline findings hold (spread
+    Poisson-like SR residuals vs the published clustered regime)."""
+    import json
+
+    path = os.path.join(REPO, "EVAL_r5", "uniform_gap_analysis.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert abs(d["published"]["C_sr"] - 1.39) < 0.02
+    for name in ("uniform", "r3c"):
+        e = d[name]
+        for p in ("raw", "sr"):
+            s = e[p]
+            c = s["acc"] / (1.0 - s["cer"]) ** s["mean_len"]
+            assert abs(c - s["clustering_C"]) < 1e-6
+        # SR residuals are near-Poisson spread (the measured finding)
+        assert 0.7 <= e["sr"]["dispersion_var_over_mean"] <= 1.2
+        assert e["sr"]["clustering_C"] < 1.15
+    # the r3c set meets the published-delta CER requirement; uniform doesn't
+    assert (d["r3c"]["sr"]["cer"]
+            <= d["r3c"]["frontier"]["required_cer_at_measured_C"])
+    assert (d["uniform"]["sr"]["cer"]
+            > d["uniform"]["frontier"]["required_cer_at_measured_C"])
