@@ -127,7 +127,10 @@ def render_clean_pool(args):
     nprng = np.random.RandomState(args.seed_a)
     out = np.empty((args.pool, h, w, 3), np.float32)
     for i, t in enumerate(texts):
-        hr = render_tight_plate(t, nprng, h * 2, w * 2)
+        # half font / half plate style — matches the clean-LR distribution
+        # the unified-v2 trainer routes through this G
+        style = "font" if i % 2 == 0 else "plate"
+        hr = render_tight_plate(t, nprng, h * 2, w * 2, style=style)
         out[i] = np.asarray(
             Image.fromarray(hr).resize((w, h), Image.BILINEAR),
             np.float32) / 255.0
