@@ -49,7 +49,8 @@ ADV = dict(seed=7770, neg_p=0.4, occlude_p=0.25, max_plates=4)
 def build_set(out_dir: str, n: int, w: int, h: int):
     from make_detector_set import write_split
 
-    write_split(out_dir, "val", n, w, h, seed=ADV["seed"],
+    # seed offset mirrors the make_detector_set CLI's val-split convention
+    write_split(out_dir, "val", n, w, h, seed=ADV["seed"] + 10_000,
                 max_plates=ADV["max_plates"], photo=True,
                 neg_p=ADV["neg_p"], occlude_p=ADV["occlude_p"])
 
