@@ -11,6 +11,14 @@ from __future__ import annotations
 import argparse
 import os
 
+# persistent XLA compile cache: chunked runs (scripts/train_det_chunked.sh,
+# the axon-leak workaround) restart the process every few epochs — without
+# this every chunk pays the full remote compile again
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Train a YOLO detector (TPU)")
