@@ -250,6 +250,11 @@ def _match_photometry(crop: np.ndarray, bg: np.ndarray,
     return np.clip(c * gain * cast, 0, 255).astype(np.uint8)
 
 
+# saturated UI/OSD overlay colors (the demo frame uses pure green/yellow)
+_OSD_COLORS = [(0, 255, 0), (255, 255, 0), (255, 0, 0), (0, 255, 255),
+               (255, 0, 255), (0, 128, 255), (255, 255, 255)]
+
+
 def render_scene_photo(rng: random.Random, w: int, h: int,
                        max_plates: int = 3, neg_p: float = 0.15,
                        occlude_p: float = 0.0):
@@ -325,9 +330,47 @@ def render_scene_photo(rng: random.Random, w: int, h: int,
                     ox = px + rng.choice([0, pw - r_])
                     oy = py + rng.choice([0, ph - r_])
                     d.ellipse([ox, oy, ox + r_, oy + r_], fill=oc)
+            if rng.random() < 0.15:
+                # annotation/OSD burn-in ring: footage that has passed
+                # through a detector UI or DVR overlay carries thin
+                # saturated rectangle outlines drawn tight around objects
+                # (the reference's own committed demo frame, imgs/image.png,
+                # has exactly this around both plates) — the label is kept:
+                # a plate inside a drawn box is still a plate
+                d = ImageDraw.Draw(img)
+                pad = rng.randint(1, 5)
+                lw = rng.randint(1, 3)
+                d.rectangle([px - pad, py - pad, px + pw + pad,
+                             py + ph + pad],
+                            outline=rng.choice(_OSD_COLORS), width=lw)
+                if rng.random() < 0.5:
+                    d.text((px + rng.randint(-4, pw // 2),
+                            py - pad - rng.randint(8, 16)),
+                           rng.choice(["#1", "#2", "#3", "P", "LP", "car"]),
+                           fill=(255, 255, 255))
             cls = 7.0 if two else 8.0
             labels.append((cls, (px + pw / 2) / w, (py + ph / 2) / h,
                            pw / w, ph / h))
+    if rng.random() < 0.25:
+        # unlabeled OSD distractors: rings/text NOT around a plate, so the
+        # outline alone does not become a plate cue
+        d = ImageDraw.Draw(img)
+        for _ in range(rng.randint(1, 3)):
+            bw_ = rng.randint(10, max(w // 6, 12))
+            bh_ = rng.randint(6, max(h // 8, 8))
+            bx = rng.randint(0, max(w - bw_ - 1, 1))
+            by = rng.randint(0, max(h - bh_ - 1, 1))
+            if any(bx < b[2] and bx + bw_ > b[0] and by < b[3]
+                   and by + bh_ > b[1] for b in boxes):
+                continue
+            if rng.random() < 0.6:
+                d.rectangle([bx, by, bx + bw_, by + bh_],
+                            outline=rng.choice(_OSD_COLORS),
+                            width=rng.randint(1, 3))
+            else:
+                d.text((bx, by), rng.choice(
+                    ["CAM 01", "REC", "12:04:31", "#4", "ID 7"]),
+                    fill=rng.choice(_OSD_COLORS))
     # global photometric chain
     arr = np.asarray(img, np.float32)
     kernels = _blur_kernels()
