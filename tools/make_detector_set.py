@@ -257,7 +257,8 @@ _OSD_COLORS = [(0, 255, 0), (255, 255, 0), (255, 0, 0), (0, 255, 255),
 
 def render_scene_photo(rng: random.Random, w: int, h: int,
                        max_plates: int = 3, neg_p: float = 0.15,
-                       occlude_p: float = 0.0):
+                       occlude_p: float = 0.0, ring_p: float = 0.15,
+                       frac_hi: float = 0.22, frac_hi_small: float = 0.06):
     """Photographic-realism scene (round 5).  Same label contract as
     render_scene.  ``occlude_p``: probability a pasted plate gets partially
     occluded by a random bar/blob (adversarial-val mode; the label is
@@ -278,8 +279,8 @@ def render_scene_photo(rng: random.Random, w: int, h: int,
                 two = ar < 1.5
             # plate width: 1.6% .. 22% of min dim — the real demo frame's
             # plates are ~2.4% (21 px in a 880x495 frame)
-            frac = rng.uniform(0.016, 0.22) if rng.random() < 0.5 \
-                else rng.uniform(0.016, 0.06)  # bias small
+            frac = rng.uniform(0.016, frac_hi) if rng.random() < 0.5 \
+                else rng.uniform(0.016, frac_hi_small)  # bias small
             pw = max(int(scale_ref * frac), 10)
             if two:
                 ph = int(pw * rng.uniform(0.60, 0.85))
@@ -330,7 +331,7 @@ def render_scene_photo(rng: random.Random, w: int, h: int,
                     ox = px + rng.choice([0, pw - r_])
                     oy = py + rng.choice([0, ph - r_])
                     d.ellipse([ox, oy, ox + r_, oy + r_], fill=oc)
-            if rng.random() < 0.15:
+            if rng.random() < ring_p:
                 # annotation/OSD burn-in ring: footage that has passed
                 # through a detector UI or DVR overlay carries thin
                 # saturated rectangle outlines drawn tight around objects
@@ -451,7 +452,9 @@ def render_scene(rng: random.Random, w: int, h: int, max_plates: int = 3):
 
 def write_split(out: str, split: str, n: int, w: int, h: int,
                 seed: int, max_plates: int, photo: bool = False,
-                neg_p: float = 0.15, occlude_p: float = 0.0) -> None:
+                neg_p: float = 0.15, occlude_p: float = 0.0,
+                ring_p: float = 0.15, frac_hi: float = 0.22,
+                frac_hi_small: float = 0.06) -> None:
     img_dir = os.path.join(out, split, "images")
     lbl_dir = os.path.join(out, split, "labels")
     os.makedirs(img_dir, exist_ok=True)
@@ -460,7 +463,8 @@ def write_split(out: str, split: str, n: int, w: int, h: int,
     for i in range(n):
         if photo:
             frame, labels = render_scene_photo(rng, w, h, max_plates, neg_p,
-                                               occlude_p)
+                                               occlude_p, ring_p, frac_hi,
+                                               frac_hi_small)
         else:
             frame, labels = render_scene(rng, w, h, max_plates)
         stem = f"{split}_{i:05d}"
@@ -488,15 +492,23 @@ def main():
     ap.add_argument("--occlude-p", type=float, default=0.0,
                     help="per-plate partial-occlusion probability "
                          "(adversarial val mode)")
+    ap.add_argument("--ring-p", type=float, default=0.15,
+                    help="per-plate OSD burn-in ring probability (photo)")
+    ap.add_argument("--frac-hi", type=float, default=0.22,
+                    help="max plate width as fraction of min dim (photo)")
+    ap.add_argument("--frac-hi-small", type=float, default=0.06,
+                    help="max plate width for the small-biased half (photo)")
     args = ap.parse_args()
     if args.n:
         write_split(args.out, "train", args.n, args.width, args.height,
                     args.seed, args.max_plates, args.photo, args.neg_p,
-                    args.occlude_p)
+                    args.occlude_p, args.ring_p, args.frac_hi,
+                    args.frac_hi_small)
     if args.val_n:
         write_split(args.out, "val", args.val_n, args.width, args.height,
                     args.seed + 10_000, args.max_plates, args.photo,
-                    args.neg_p, args.occlude_p)
+                    args.neg_p, args.occlude_p, args.ring_p, args.frac_hi,
+                    args.frac_hi_small)
 
 
 if __name__ == "__main__":
