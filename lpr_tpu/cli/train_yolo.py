@@ -62,6 +62,10 @@ def parse_args(argv=None):
                         "hyp_evolve.yaml to --ckpt-dir, then trains the "
                         "final model with the winning hyps")
     p.add_argument("--evolve-seed", type=int, default=0)
+    p.add_argument("--hyp", action="append", default=[], metavar="K=V",
+                   help="override a hyperparameter gene by name (the "
+                        "reference's --hyp yaml surface, train.py:70; e.g. "
+                        "--hyp obj=1.5 --hyp scale=0.3); repeatable")
     p.add_argument("--runs-dir", default="runs",
                    help="run-artifact registry root (lpr_tpu.utils.registry)")
     p.add_argument("--run-project", default="yolo")
@@ -146,6 +150,12 @@ def main(argv=None):
         "flipud": 0.0, "fliplr": 0.5, "mosaic": 1.0, "mixup": 0.0,
         "copy_paste": 0.0,
     }
+    for kv in args.hyp:
+        k, _, v = kv.partition("=")
+        if k not in hyp:
+            raise SystemExit(f"--hyp: unknown key {k!r} (valid: "
+                             f"{sorted(hyp)})")
+        hyp[k] = float(v)
 
     def make_cfgs(h):
         aug = YoloAugConfig(
