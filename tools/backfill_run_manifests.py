@@ -38,6 +38,15 @@ NOT_RETAINED = {
 def main():
     reg = RunRegistry("runs")
 
+    if not os.path.exists("runs/det640/run-0000/run.json"):
+        # the round-4 box's manifests were lost before ``runs/`` manifests
+        # were force-added to git (runs/ is ignored for scratch runs):
+        # reconstruct the known lineage honestly, marked as such
+        reconstruct_det640(reg)
+        backfill_det_chunked(reg)
+        print("done (reconstructed)")
+        return
+
     r0 = reg.load("det640", "run-0000")
     if not r0.manifest.get("summary"):
         r0.finish(NOT_RETAINED)
@@ -82,7 +91,99 @@ def main():
             "rect_map": 0.7541,
         })
         print("run-0002: summary backfilled")
+
+    backfill_det_chunked(reg)
     print("done")
+
+
+# round-5 photo-domain lineage (checkpoints/plate_det_photo.npz).  The
+# chunked driver (scripts/train_det_chunked.sh) runs each chunk in a fresh
+# process, so parent links span processes; interrupted exploration chunks
+# never reached finish().  Chain: det640/run-0002 -> det-chunked/run-0000
+# (lr .01, base photo set) -> run-0001 (lr .004) -> run-0002 (lr .0012,
+# overlay-augmented regen; its best IS the shipped plate_det_photo.npz) ->
+# run-0003 (booster mix, interrupted) -> run-0004 (obj-gain experiment,
+# interrupted; demo-frame conf regressed 0.761 -> 0.637, not shipped).
+_DET_CHUNKED_PARENTS = {
+    "run-0000": "det640/run-0002",
+    "run-0001": "det-chunked/run-0000",
+    "run-0002": "det-chunked/run-0001",
+    "run-0003": "det-chunked/run-0002",
+    "run-0004": "det-chunked/run-0003",
+}
+_INTERRUPTED = {
+    "run-0003": "interrupted mid-chunk (epoch 3 of 5) while exploring a "
+                "booster-heavy mix; superseded by run-0002's shipped "
+                "checkpoint",
+    "run-0004": "interrupted obj-gain experiment (obj=1.6): val fitness "
+                "rose but demo-frame conf regressed 0.761 -> 0.637; "
+                "not shipped",
+}
+
+
+def reconstruct_det640(reg):
+    """Recreate the det640 manifests from the recorded provenance
+    (checkpoints/README.md row + BENCHLOG round 4).  The original
+    process-written run.json files were never committed; these carry
+    ``reconstructed: true`` so nobody mistakes them for live captures."""
+    base = dict(arch="yolov5s", nc=11, imgsz=[640], batch_size=16,
+                reconstructed=True)
+    runs = [
+        (dict(base, epochs=40, lr0=0.01, init_weights=None),
+         None, NOT_RETAINED, None),
+        (dict(base, epochs=40, lr0=0.01,
+              init_weights="checkpoints/demo_plate_s.npz"),
+         "det640/run-0000", NOT_RETAINED, None),
+        (dict(base, epochs=6, lr0=0.002, init_weights="run-0001 best"),
+         "det640/run-0001",
+         {"epochs": 6, "final_fitness": 0.7981, "rect_map50": 0.9876,
+          "rect_map": 0.7541},
+         ("checkpoints/plate_det640.npz", {
+             "val640_fitness": 0.7981, "rect736x1280_map50": 0.9876,
+             "rect736x1280_map": 0.7541, "rect736x1280_fitness": 0.7774,
+         })),
+    ]
+    for cfg, parent, summary, art in runs:
+        r = reg.new_run("det640", cfg)
+        if parent:
+            r.manifest["parent"] = {"run_id": parent,
+                                    "checkpoint": cfg.get("init_weights"),
+                                    "sha256": None}
+            r.save()
+        if art and os.path.exists(art[0]):
+            r.log_artifact(art[0], aliases=("best", "latest"),
+                           metrics=art[1])
+        r.finish(summary)
+        print(f"{r.id}: reconstructed")
+
+
+def backfill_det_chunked(reg):
+    for rid, parent in _DET_CHUNKED_PARENTS.items():
+        try:
+            r = reg.load("det-chunked", rid)
+        except FileNotFoundError:
+            continue
+        if r.manifest.get("parent") is None:
+            r.manifest["parent"] = {
+                "run_id": parent,
+                "checkpoint": r.manifest["config"].get("init_weights"),
+                "sha256": None,
+            }
+            r.save()
+            print(f"det-chunked/{rid}: parent backfilled")
+        if not r.manifest.get("summary"):
+            r.finish({"retained": False, "note": _INTERRUPTED[rid]})
+            print(f"det-chunked/{rid}: summary backfilled (interrupted)")
+    r2 = reg.load("det-chunked", "run-0002")
+    ckpt = "checkpoints/plate_det_photo.npz"
+    names = [a["name"] for a in r2.manifest.get("artifacts", [])]
+    if os.path.exists(ckpt) and "plate_det_photo" not in names:
+        r2.log_artifact(ckpt, aliases=("shipped",), metrics={
+            "adv_map50": 0.7897, "adv_map": 0.5164,
+            "adv_fp_per_negative_frame": 0.0, "adv_op_recall": 0.501,
+            "demo_frame_51A02352_conf_at_1920": 0.791,
+        })
+        print("det-chunked/run-0002: plate_det_photo.npz artifact logged")
 
 
 if __name__ == "__main__":

@@ -111,6 +111,8 @@ def main(argv=None):
     # --- mAP on positives (standard val path) ---
     ds_pos = YoloValDataset(img_dir, lbl_dir, imgsz=args.imgsz)
     ds_pos.paths = [ds.paths[i] for i in pos_idx]
+    ds_pos.labels = [ds_pos.labels[i] for i in pos_idx]
+    ds_pos.shapes = ds_pos.shapes[np.asarray(pos_idx)]
     t0 = time.perf_counter()
     metrics = validate_map(model, params,
                            ds_pos.batches(args.batch_size))
